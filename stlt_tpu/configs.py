@@ -1,0 +1,271 @@
+"""Configuration dataclasses for the TPU-native STLT framework.
+
+Mirrors the reference configuration surface (flag names, defaults, and the
+hard-coded vocabularies) while being a clean dataclass design:
+
+- reference: ``src/modelling/configs.py:4-89`` (DataConfig),
+  ``:92-99`` (GeneralModelConfig), ``:102-126`` (StltModelConfig),
+  ``:129-147`` (AppearanceModelConfig), ``:150-175`` (MultimodalModelConfig),
+  ``:178-185`` (model_configs_factory).
+
+TPU-specific additions (not present in the reference, which is single-GPU
+PyTorch): ``compute_dtype`` for bf16 matmuls, ``use_pallas`` to enable fused
+attention kernels, and mesh axis sizes for data/tensor parallelism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+# ---------------------------------------------------------------------------
+# Hard-coded vocabularies (reference: src/modelling/configs.py:30-89).
+# Kept as data so they can be swapped per dataset.
+# ---------------------------------------------------------------------------
+
+SOMETHING_CATEGORY2ID: Dict[str, int] = {
+    "pad": 0,
+    "hand": 1,
+    "object": 2,
+    "cls": 3,
+}
+
+ACTION_GENOME_CATEGORY2ID: Dict[str, int] = {
+    "pad": 0,
+    "cls": 1,
+    "chair": 2,
+    "book": 3,
+    "medicine": 4,
+    "vacuum": 5,
+    "food": 6,
+    "groceries": 7,
+    "floor": 8,
+    "mirror": 9,
+    "closet/cabinet": 10,
+    "doorway": 11,
+    "paper/notebook": 12,
+    "picture": 13,
+    "phone/camera": 14,
+    "sofa/couch": 15,
+    "sandwich": 16,
+    "cup/glass/bottle": 17,
+    "towel": 18,
+    "box": 19,
+    "blanket": 20,
+    "television": 21,
+    "bag": 22,
+    "refrigerator": 23,
+    "table": 24,
+    "light": 25,
+    "broom": 26,
+    "shoe": 27,
+    "doorknob": 28,
+    "bed": 29,
+    "window": 30,
+    "shelf": 31,
+    "door": 32,
+    "pillow": 33,
+    "laptop": 34,
+    "dish": 35,
+    "clothes": 36,
+    "person": 37,
+}
+
+SOMETHING_FRAME2TYPE: Dict[str, int] = {
+    "pad": 0,
+    "start": 1,
+    "regular": 2,
+    "empty": 3,
+    "extract": 4,
+}
+
+ACTION_GENOME_FRAME2TYPE: Dict[str, int] = {
+    "pad": 0,
+    "regular": 1,
+    "extract": 2,
+    "empty": 3,
+}
+
+DATASET_NAMES = ("something", "action_genome")
+
+
+def category2id_for(dataset_name: str) -> Dict[str, int]:
+    if dataset_name == "something":
+        return SOMETHING_CATEGORY2ID
+    if dataset_name == "action_genome":
+        return ACTION_GENOME_CATEGORY2ID
+    raise ValueError(f"{dataset_name} does not exist!")
+
+
+def frame2type_for(dataset_name: str) -> Dict[str, int]:
+    if dataset_name == "something":
+        return SOMETHING_FRAME2TYPE
+    if dataset_name == "action_genome":
+        return ACTION_GENOME_FRAME2TYPE
+    raise ValueError(f"{dataset_name} does not exist!")
+
+
+# ---------------------------------------------------------------------------
+# Data configuration (reference: src/modelling/configs.py:4-89).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset_name: str
+    dataset_path: Optional[str] = None
+    labels_path: Optional[str] = None
+    videoid2size_path: Optional[str] = None
+    videos_path: Optional[str] = None
+    train: bool = False
+    layout_num_frames: int = 16
+    max_num_objects: int = 7
+    score_threshold: float = 0.5
+    appearance_num_frames: int = 32
+    spatial_size: int = 112
+
+    def __post_init__(self):
+        if self.dataset_name not in DATASET_NAMES:
+            raise ValueError(f"{self.dataset_name} does not exist!")
+
+    @property
+    def category2id(self) -> Dict[str, int]:
+        return category2id_for(self.dataset_name)
+
+    @property
+    def frame2type(self) -> Dict[str, int]:
+        return frame2type_for(self.dataset_name)
+
+    @property
+    def num_total_frames(self) -> int:
+        """Static frame axis: sampled frames + the appended EXTRACT frame.
+
+        The reference pads to the *batch max* length at collate time
+        (``src/utils/data_utils.py:93-102``); we pad every clip to this static
+        length instead so every batch has the same XLA-compiled shape. Masks
+        make the two semantically identical.
+        """
+        return self.layout_num_frames + 1
+
+    @property
+    def num_total_boxes(self) -> int:
+        """Static box axis: CLS pseudo-box + max_num_objects real boxes."""
+        return self.max_num_objects + 1
+
+
+# ---------------------------------------------------------------------------
+# Model configurations (reference: src/modelling/configs.py:92-185).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeneralModelConfig:
+    num_classes: int = 0
+    hidden_size: int = 768
+    hidden_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    num_attention_heads: int = 12
+    # --- TPU-native extensions (no reference counterpart) ---
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    use_pallas: bool = False  # fused attention kernels on TPU
+
+    def __post_init__(self):
+        assert self.num_classes, "num_classes must not be None!"
+
+
+@dataclasses.dataclass
+class StltModelConfig(GeneralModelConfig):
+    unique_categories: int = 0
+    num_spatial_layers: int = 4
+    num_temporal_layers: int = 8
+    # NOTE: model default is 256 (position table size) while the data default
+    # is 16 sampled frames — the reference never passes this through train.py,
+    # so the table is always 256 (reference configs.py:109). Preserved.
+    layout_num_frames: int = 256
+    load_backbone_path: Optional[str] = None
+    freeze_backbone: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.unique_categories, "unique_categories must not be None!"
+
+
+@dataclasses.dataclass
+class AppearanceModelConfig(GeneralModelConfig):
+    appearance_num_frames: int = 0
+    resnet_model_path: Optional[str] = None
+    num_appearance_layers: int = 4
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.appearance_num_frames, "appearance_num_frames must not be None!"
+
+
+@dataclasses.dataclass
+class MultimodalModelConfig(GeneralModelConfig):
+    unique_categories: int = 0
+    num_spatial_layers: int = 4
+    num_temporal_layers: int = 8
+    layout_num_frames: int = 256
+    appearance_num_frames: int = 0
+    resnet_model_path: Optional[str] = None
+    num_appearance_layers: int = 4
+    num_fusion_layers: int = 4
+    load_backbone_path: Optional[str] = None
+    freeze_backbone: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+
+    @property
+    def stlt_config(self) -> StltModelConfig:
+        return StltModelConfig(
+            num_classes=self.num_classes,
+            hidden_size=self.hidden_size,
+            hidden_dropout_prob=self.hidden_dropout_prob,
+            layer_norm_eps=self.layer_norm_eps,
+            num_attention_heads=self.num_attention_heads,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            unique_categories=self.unique_categories,
+            num_spatial_layers=self.num_spatial_layers,
+            num_temporal_layers=self.num_temporal_layers,
+            layout_num_frames=self.layout_num_frames,
+        )
+
+    @property
+    def appearance_config(self) -> AppearanceModelConfig:
+        return AppearanceModelConfig(
+            num_classes=self.num_classes,
+            hidden_size=self.hidden_size,
+            hidden_dropout_prob=self.hidden_dropout_prob,
+            layer_norm_eps=self.layer_norm_eps,
+            num_attention_heads=self.num_attention_heads,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            appearance_num_frames=self.appearance_num_frames,
+            resnet_model_path=self.resnet_model_path,
+            num_appearance_layers=self.num_appearance_layers,
+        )
+
+
+def _pick(kwargs, names):
+    return {k: v for k, v in kwargs.items() if k in names and v is not None}
+
+
+def make_model_config(model_name: str, **kwargs):
+    """Build the right config from a flat kwargs dict (reference
+    model_configs_factory, src/modelling/configs.py:178-185)."""
+    cls = model_configs_factory[model_name]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**_pick(kwargs, fields))
+
+
+model_configs_factory = {
+    "stlt": StltModelConfig,
+    "resnet3d": AppearanceModelConfig,
+    "resnet3d-transformer": AppearanceModelConfig,
+    "lcf": MultimodalModelConfig,
+    "caf": MultimodalModelConfig,
+    "cacnf": MultimodalModelConfig,
+}

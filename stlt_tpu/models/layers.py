@@ -1,0 +1,222 @@
+"""Core transformer building blocks (flax.linen) with PyTorch-parity semantics.
+
+The reference builds everything from ``torch.nn.TransformerEncoder`` /
+``nn.MultiheadAttention`` (e.g. ``src/modelling/models.py:42-81, 114-152,
+342-388``). PyTorch 1.10 encoder layers are **post-LN**:
+
+    x = norm1(x + dropout(self_attn(x)))
+    x = norm2(x + dropout2(linear2(dropout(act(linear1(x))))))
+
+These modules reproduce that exactly (including attention-probability dropout
+inside MHA) so converted checkpoints are drop-in. Initializers match the
+PyTorch defaults so from-scratch training follows the same distributions:
+``nn.Linear`` → U(±1/sqrt(fan_in)) for kernel and bias; MHA in-projections →
+Xavier-uniform with zero bias; ``nn.Embedding`` → N(0, 1) with a zeroed
+padding row.
+
+All modules are batch-first ``[B, T, H]`` (the seq-first layout of the
+reference is a torch convention with no XLA benefit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn import initializers
+
+from stlt_tpu.ops.attention import attention_probs, dot_product_attention
+
+# PyTorch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+torch_linear_kernel_init = initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def padded_embedding_init(padding_idx: Optional[int] = None) -> Callable:
+    """torch.nn.Embedding default init: N(0,1), with the padding row zeroed."""
+    def init(key, shape, dtype=jnp.float32):
+        table = jax.random.normal(key, shape, dtype)
+        if padding_idx is not None:
+            table = table.at[padding_idx].set(0.0)
+        return table
+    return init
+
+
+def torch_dense(features: int, fan_in: int, dtype=jnp.float32, name: Optional[str] = None) -> nn.Dense:
+    """nn.Dense with PyTorch nn.Linear default initialization."""
+    return nn.Dense(
+        features=features,
+        dtype=dtype,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_linear_bias_init(fan_in),
+        name=name,
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    """PyTorch ``nn.MultiheadAttention`` semantics (batch-first).
+
+    Separate q/k/v projections (the converter splits torch's stacked
+    ``in_proj_weight`` into thirds), attention-probability dropout, f32
+    softmax, and an output projection.
+    """
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        H, N = self.hidden_size, self.num_heads
+        assert H % N == 0
+        D = H // N
+        # torch MHA in-projections: xavier_uniform kernels, zero bias.
+        proj = lambda name: nn.Dense(
+            H,
+            dtype=self.dtype,
+            kernel_init=initializers.xavier_uniform(),
+            bias_init=initializers.zeros,
+            name=name,
+        )
+        B, T = query.shape[0], query.shape[1]
+        S = key.shape[1]
+        q = proj("q_proj")(query).reshape(B, T, N, D)
+        k = proj("k_proj")(key).reshape(B, S, N, D)
+        v = proj("v_proj")(value).reshape(B, S, N, D)
+
+        apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
+        if apply_prob_dropout:
+            # Training path with attention dropout: materialize probabilities
+            # (PyTorch applies dropout to the softmax weights).
+            probs = attention_probs(q, k, bias)
+            probs = nn.Dropout(rate=self.dropout_rate)(
+                probs, deterministic=False
+            )
+            out = jnp.einsum(
+                "bnts,bsnd->btnd",
+                probs.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+        else:
+            out = dot_product_attention(q, k, v, bias, use_pallas=self.use_pallas)
+
+        out = out.reshape(B, T, H)
+        # torch MHA out_proj: NonDynamicallyQuantizableLinear == nn.Linear
+        # (kaiming-uniform default init, zero bias at construction).
+        return nn.Dense(
+            H,
+            dtype=self.dtype,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=initializers.zeros,
+            name="out_proj",
+        )(out)
+
+
+def activation_fn(name: str) -> Callable:
+    if name == "gelu":
+        # torch F.gelu default: exact erf formulation.
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer matching torch.nn.TransformerEncoderLayer (1.10)."""
+
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"  # torch default; STLT passes "gelu"
+    layer_norm_eps: float = 1e-5  # torch default; configs pass 1e-12
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn_out = MultiHeadAttention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="self_attn",
+        )(x, x, x, bias, deterministic=deterministic)
+        attn_out = nn.Dropout(rate=self.dropout_rate)(
+            attn_out, deterministic=deterministic
+        )
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(
+            x + attn_out
+        )
+        h = torch_dense(self.ff_size, self.hidden_size, self.dtype, "linear1")(x)
+        h = activation_fn(self.activation)(h)
+        h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
+        h = torch_dense(self.hidden_size, self.ff_size, self.dtype, "linear2")(h)
+        h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2"
+        )(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN encoder layers (torch.nn.TransformerEncoder)."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    layer_norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                ff_size=self.ff_size,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                layer_norm_eps=self.layer_norm_eps,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"layers_{i}",
+            )(x, bias, deterministic=deterministic)
+        return x

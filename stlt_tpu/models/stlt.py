@@ -1,0 +1,217 @@
+"""STLT — Spatial-Temporal Layout Transformer (flax.linen, batch-first).
+
+Reference architecture: ``src/modelling/models.py:16-195``.
+
+- ``CategoryBoxEmbeddings`` (models.py:16-39): category embedding (+ box
+  linear, + optional score linear iff scores present) → LayerNorm → dropout.
+- ``SpatialTransformer`` (models.py:42-81): per-frame self-attention over box
+  tokens; frames fold into the batch axis; only token 0 (the frame-CLS) is
+  kept.
+- ``FramesEmbeddings`` (models.py:84-111): + learned position embeddings
+  (table of size ``config.layout_num_frames`` = 256, sliced to the actual
+  frame count) + frame-type embeddings (5 types, padding_idx 0).
+- ``StltBackbone`` (models.py:114-152): temporal causal encoder over frame
+  embeddings with the causal + frame-padding mask.
+- ``Stlt`` (models.py:166-195): backbone → gather the hidden state at
+  ``lengths - 1`` (the EXTRACT frame) → ``ClassificationHead`` →
+  ``{"stlt": logits}``.
+
+TPU-first notes: everything is ``[B, ...]`` batch-first with static shapes;
+padding masks are derived in-model from ``categories == 0`` /
+``frame_types == 0`` (the reference collater's rules) so the host pipeline
+ships only raw integer/float tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn import initializers
+
+from stlt_tpu.configs import StltModelConfig
+from stlt_tpu.models.layers import (
+    TransformerEncoder,
+    activation_fn,
+    padded_embedding_init,
+    torch_dense,
+)
+from stlt_tpu.ops import masks
+
+NUM_FRAME_TYPES = 5  # reference models.py:91 — fixed table of 5 frame types
+
+
+class CategoryBoxEmbeddings(nn.Module):
+    config: StltModelConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        embeddings = nn.Embed(
+            num_embeddings=cfg.unique_categories,
+            features=cfg.hidden_size,
+            dtype=dtype,
+            embedding_init=padded_embedding_init(padding_idx=0),
+            name="category_embeddings",
+        )(batch["categories"])
+        embeddings += torch_dense(cfg.hidden_size, 4, dtype, "box_embedding")(
+            batch["boxes"].astype(dtype)
+        )
+        if "scores" in batch:
+            # Conditional score path: only Action Genome batches carry scores
+            # (reference models.py:33-35 + collater datasets.py:252-260).
+            embeddings += torch_dense(cfg.hidden_size, 1, dtype, "score_embeddings")(
+                batch["scores"].astype(dtype)[..., None]
+            )
+        embeddings = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
+        )(embeddings)
+        return nn.Dropout(rate=cfg.hidden_dropout_prob)(
+            embeddings, deterministic=deterministic
+        )
+
+
+class SpatialTransformer(nn.Module):
+    config: StltModelConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
+        cfg = self.config
+        # [B, F, O, H]
+        tokens = CategoryBoxEmbeddings(cfg, name="category_box_embeddings")(
+            batch, deterministic=deterministic
+        )
+        B, F, O, H = tokens.shape
+        tokens = tokens.reshape(B * F, O, H)
+        pad_bias = masks.key_padding_bias(
+            masks.boxes_padding_mask(batch["categories"]).reshape(B * F, O)
+        )
+        tokens = TransformerEncoder(
+            num_layers=cfg.num_spatial_layers,
+            hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_attention_heads,
+            ff_size=cfg.hidden_size * 4,
+            dropout_rate=cfg.hidden_dropout_prob,
+            activation="gelu",
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            use_pallas=cfg.use_pallas,
+            name="transformer",
+        )(tokens, pad_bias, deterministic=deterministic)
+        # Keep the frame-CLS token (slot 0) per frame: [B, F, H].
+        return tokens[:, 0, :].reshape(B, F, H)
+
+
+class FramesEmbeddings(nn.Module):
+    config: StltModelConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        frames = SpatialTransformer(cfg, name="layout_embedding")(
+            batch, deterministic=deterministic
+        )
+        num_frames = frames.shape[1]
+        position_table = self.param(
+            "position_embeddings",
+            initializers.normal(1.0),  # torch nn.Embedding default N(0,1)
+            (cfg.layout_num_frames, cfg.hidden_size),
+        )
+        frame_type_embeddings = nn.Embed(
+            num_embeddings=NUM_FRAME_TYPES,
+            features=cfg.hidden_size,
+            dtype=dtype,
+            embedding_init=padded_embedding_init(padding_idx=0),
+            name="frame_type_embedding",
+        )(batch["frame_types"])
+        embeddings = (
+            frames
+            + position_table[None, :num_frames].astype(dtype)
+            + frame_type_embeddings
+        )
+        embeddings = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
+        )(embeddings)
+        return nn.Dropout(rate=cfg.hidden_dropout_prob)(
+            embeddings, deterministic=deterministic
+        )
+
+
+class StltBackbone(nn.Module):
+    config: StltModelConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
+        cfg = self.config
+        embeddings = FramesEmbeddings(cfg, name="frames_embeddings")(
+            batch, deterministic=deterministic
+        )
+        num_frames = embeddings.shape[1]
+        bias = masks.causal_bias(num_frames) + masks.key_padding_bias(
+            masks.frames_padding_mask(batch["frame_types"])
+        )
+        return TransformerEncoder(
+            num_layers=cfg.num_temporal_layers,
+            hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_attention_heads,
+            ff_size=cfg.hidden_size * 4,
+            dropout_rate=cfg.hidden_dropout_prob,
+            activation="gelu",
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            use_pallas=cfg.use_pallas,
+            name="transformer",
+        )(embeddings, bias, deterministic=deterministic)  # [B, F, H]
+
+
+class ClassificationHead(nn.Module):
+    """fc1 → GELU → LayerNorm → fc2 (reference models.py:155-163)."""
+
+    hidden_size: int
+    num_classes: int
+    layer_norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_state: jnp.ndarray) -> jnp.ndarray:
+        h = torch_dense(self.hidden_size, self.hidden_size, self.dtype, "fc1")(
+            hidden_state
+        )
+        h = activation_fn("gelu")(h)
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
+        return torch_dense(self.num_classes, self.hidden_size, self.dtype, "fc2")(h)
+
+
+def gather_extract_frame(hidden_states: jnp.ndarray, lengths: jnp.ndarray):
+    """Pool the hidden state at frame index ``lengths - 1`` — the appended
+    EXTRACT frame (reference models.py:189-192). [B, F, H] → [B, H]."""
+    idx = (lengths - 1).astype(jnp.int32)[:, None, None]
+    return jnp.take_along_axis(hidden_states, idx, axis=1)[:, 0, :]
+
+
+class Stlt(nn.Module):
+    config: StltModelConfig
+    logit_names = ("stlt",)
+
+    @nn.compact
+    def __call__(
+        self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        # A frozen backbone runs in eval mode (reference models.py:180-183).
+        backbone_deterministic = deterministic or bool(cfg.freeze_backbone)
+        hidden = StltBackbone(cfg, name="backbone")(
+            batch, deterministic=backbone_deterministic
+        )
+        pooled = gather_extract_frame(hidden, batch["lengths"])
+        logits = ClassificationHead(
+            hidden_size=cfg.hidden_size,
+            num_classes=cfg.num_classes,
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            name="prediction_head",
+        )(pooled)
+        return {"stlt": logits.astype(jnp.float32)}

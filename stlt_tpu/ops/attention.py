@@ -1,0 +1,75 @@
+"""Scaled-dot-product attention core with a pluggable Pallas fast path.
+
+The reference delegates attention to ``torch.nn.MultiheadAttention`` (cuDNN);
+the TPU-native equivalent is this module: an XLA einsum reference path plus a
+fused Pallas flash-attention kernel (``stlt_tpu.ops.flash``) selected by
+``use_pallas``. Numerics: logits and softmax are computed in float32 regardless
+of the compute dtype (bf16 inputs are fine — the MXU accumulates in f32 via
+``preferred_element_type``), matching PyTorch's f32 attention math closely
+enough for checkpoint parity.
+
+Shapes follow the JAX convention ``[batch, seq, heads, head_dim]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain XLA attention. q: [B, T, N, D]; k, v: [B, S, N, D];
+    bias: broadcastable to [B, N, T, S]. Returns [B, T, N, D]."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+    logits = jnp.einsum(
+        "btnd,bsnd->bnts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bnts,bsnd->btnd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+def attention_probs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Softmax attention probabilities in f32 ([B, N, T, S]); exposed so the
+    modules can apply attention-probability dropout (PyTorch MHA semantics)
+    before the value contraction."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+    logits = jnp.einsum(
+        "btnd,bsnd->bnts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Dispatch between the fused Pallas kernel and the XLA reference path."""
+    if use_pallas:
+        from stlt_tpu.ops.flash import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+    return dot_product_attention_reference(q, k, v, bias)

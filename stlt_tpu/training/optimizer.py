@@ -1,0 +1,99 @@
+"""Optimizer + LR schedule.
+
+Reference semantics reproduced with optax:
+
+- AdamW with two parameter groups (``src/utils/train_inference_utils.py:37-54``):
+  no weight decay for 1-D params, ``.bias``-suffixed params, and the model's
+  ``no_weight_decay`` set (``pos_embed``/``cls_token`` of TransformerResnet,
+  reference models.py:282-283);
+- HF-style linear warmup→linear decay per-step schedule
+  (``train_inference_utils.py:21-34``), ``num_batches = len(train) // batch_size``
+  (reference train.py:105-110);
+- global-norm gradient clipping at ``clip_val`` (reference train.py:129 uses
+  ``clip_grad_norm_`` — torch scales by total norm, optax.clip_by_global_norm
+  is the same operation);
+- optional frozen-backbone masking (reference sets ``requires_grad=False``,
+  models.py:170-176 — here a ``zero_grads`` mask on the ``backbone`` subtree).
+
+torch AdamW defaults are kept: b1=0.9, b2=0.999, eps=1e-8.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import traverse_util
+
+NO_WEIGHT_DECAY_NAMES = ("pos_embed", "cls_token")
+
+
+def weight_decay_mask(params: Any) -> Any:
+    """True where weight decay applies (mirrors add_weight_decay)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        path: (getattr(leaf, "ndim", 0) > 1)
+        and path[-1] != "bias"
+        and path[-1] not in NO_WEIGHT_DECAY_NAMES
+        for path, leaf in flat.items()
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+def frozen_backbone_mask(params: Any, frozen: bool) -> Any:
+    """True where the param is trainable."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        path: not (frozen and path and path[0] == "backbone") for path in flat
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+def linear_warmup_decay(
+    learning_rate: float, num_warmup_steps: int, num_training_steps: int
+):
+    """HF get_linear_schedule_with_warmup as an optax schedule."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warmup = step / jnp.maximum(1.0, num_warmup_steps)
+        decay = (num_training_steps - step) / jnp.maximum(
+            1.0, num_training_steps - num_warmup_steps
+        )
+        factor = jnp.where(step < num_warmup_steps, warmup, jnp.maximum(0.0, decay))
+        return learning_rate * factor
+
+    return schedule
+
+
+def make_optimizer(
+    params: Any,
+    *,
+    learning_rate: float,
+    weight_decay: float,
+    clip_val: float,
+    num_warmup_steps: int,
+    num_training_steps: int,
+    freeze_backbone: bool = False,
+) -> optax.GradientTransformation:
+    schedule = linear_warmup_decay(learning_rate, num_warmup_steps, num_training_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_val),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=weight_decay,
+            mask=weight_decay_mask(params),
+        ),
+    )
+    if freeze_backbone:
+        # Frozen params receive zero updates entirely (the torch analogue:
+        # requires_grad=False params are invisible to the optimizer AND to
+        # clip_grad_norm_, since their grads are None).
+        tx = optax.masked(tx, frozen_backbone_mask(params, True))
+    return tx

@@ -1,0 +1,155 @@
+"""PyTorch checkpoint → flax parameter-tree converter.
+
+Converts the reference's released ``.pt`` state_dicts (model zoo,
+reference README.md:37-44, saved by ``torch.save(model.state_dict())`` at
+``src/train.py:150``) and the Kinetics R3D-50 checkpoint into this
+framework's parameter pytrees.
+
+Name mapping: flax module names intentionally mirror the reference's torch
+attribute names (``backbone.frames_embeddings.layout_embedding...``), so the
+translation is mechanical:
+
+- ``layers_{i}``            ↔ torch ``layers.{i}``
+- ``kernel``                ↔ torch ``weight`` (transposed for Linear/Conv)
+- ``scale``                 ↔ torch LayerNorm/BatchNorm ``weight``
+- ``embedding``             ↔ torch Embedding ``weight``
+- ``{q,k,v}_proj``          ↔ thirds of torch MHA ``in_proj_weight``/``in_proj_bias``
+- prototype ``encoder_layer.*`` entries in torch state_dicts are ignored
+  (torch ``nn.TransformerEncoder`` deep-copies the prototype layer, so the
+  reference's ``SpatialTransformer.encoder_layer`` params are dead weight).
+
+Loading the raw files requires torch (CPU build is fine); the conversion
+itself is pure numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+try:
+    from flax import traverse_util
+except ImportError:  # pragma: no cover
+    traverse_util = None
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt/.pth file into a flat {name: ndarray} dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        # Kinetics R3D-50 checkpoints wrap the state_dict (reference
+        # models.py:201-204).
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def _strip_prefix(state_dict: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    if not prefix:
+        return state_dict
+    return {
+        k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
+    }
+
+
+def _torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
+    """Translate a flax param path to (torch parameter name, transform).
+
+    transform ∈ {"", "transpose", "conv"}.
+    """
+    parts = list(path)
+    leaf = parts.pop()
+    # layers_{i} → layers.{i}
+    parts = [
+        f"layers.{p.split('_', 1)[1]}" if p.startswith("layers_") else p
+        for p in parts
+    ]
+    module = ".".join(parts)
+
+    if leaf == "embedding":
+        return f"{module}.weight", ""
+    if leaf == "scale":
+        return f"{module}.weight", ""
+    if leaf == "kernel":
+        return f"{module}.weight", "transpose"
+    if leaf in ("bias", "mean", "var"):
+        torch_leaf = {"bias": "bias", "mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{module}.{torch_leaf}", ""
+    # Raw params (position_embeddings, cls_token, pos_embed) keep their name.
+    return f"{module}.{leaf}", ""
+
+
+def _fetch(
+    state_dict: Dict[str, np.ndarray], path: Tuple[str, ...], template: np.ndarray
+) -> np.ndarray:
+    """Fetch + transform the torch tensor for one flax param leaf."""
+    # MHA in-projections: torch stacks q/k/v as in_proj_weight [3H, H].
+    if len(path) >= 2 and path[-2] in ("q_proj", "k_proj", "v_proj"):
+        which = {"q_proj": 0, "k_proj": 1, "v_proj": 2}[path[-2]]
+        module = ".".join(
+            f"layers.{p.split('_', 1)[1]}" if p.startswith("layers_") else p
+            for p in path[:-2]
+        )
+        leaf = path[-1]
+        if leaf == "kernel":
+            w = state_dict[f"{module}.in_proj_weight"]
+            hidden = w.shape[0] // 3
+            return w[which * hidden:(which + 1) * hidden].T
+        if leaf == "bias":
+            b = state_dict[f"{module}.in_proj_bias"]
+            hidden = b.shape[0] // 3
+            return b[which * hidden:(which + 1) * hidden]
+    key, transform = _torch_key(path)
+    if key not in state_dict and f"{key}.weight" in state_dict:
+        # flax raw params that are nn.Embedding tables in torch
+        # (e.g. FramesEmbeddings.position_embeddings).
+        key = f"{key}.weight"
+    arr = state_dict[key]
+    if transform == "transpose":
+        if arr.ndim == 2:
+            arr = arr.T
+        elif arr.ndim == 5:
+            # torch Conv3d weight [out, in, kT, kH, kW] → flax [kT, kH, kW, in, out]
+            arr = arr.transpose(2, 3, 4, 1, 0)
+        elif arr.ndim == 1:
+            pass
+        else:
+            raise ValueError(f"unexpected weight rank for {key}: {arr.shape}")
+    return arr
+
+
+def torch_to_flax_params(
+    state_dict: Dict[str, np.ndarray],
+    params_template: Any,
+    *,
+    strip_prefix: str = "",
+    strict: bool = True,
+) -> Any:
+    """Fill a flax param-tree template with values from a torch state_dict.
+
+    ``params_template`` is the pytree from ``model.init(...)["params"]`` —
+    only its structure and shapes are used. With ``strict=False``, leaves
+    missing from the state_dict keep their template values (the reference's
+    ``strict=False`` fallback for score_embeddings, inference.py:59-69).
+    """
+    sd = _strip_prefix(state_dict, strip_prefix)
+    flat = traverse_util.flatten_dict(params_template)
+    out = {}
+    for path, template in flat.items():
+        try:
+            arr = _fetch(sd, path, np.asarray(template))
+        except KeyError:
+            if strict:
+                key, _ = _torch_key(path)
+                raise KeyError(f"missing torch parameter for {'/'.join(path)} ({key})")
+            out[path] = template
+            continue
+        expected = np.asarray(template).shape
+        if tuple(arr.shape) != tuple(expected):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: torch {arr.shape} vs flax {expected}"
+            )
+        out[path] = arr.astype(np.asarray(template).dtype)
+    return traverse_util.unflatten_dict(out)

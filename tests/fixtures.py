@@ -1,0 +1,95 @@
+"""Synthetic dataset fixtures matching the L0 JSON schemas (SURVEY.md §2.5)."""
+
+import json
+import os
+
+import numpy as np
+
+
+def make_something_fixture(tmpdir, num_videos=6, num_frames_range=(4, 30), seed=0):
+    """Write a tiny Something-Else-style layout dataset + labels + sizes."""
+    rng = np.random.default_rng(seed)
+    templates = [f"Doing thing {i}" for i in range(4)]
+    labels = {t: str(i) for i, t in enumerate(templates)}
+    videos, videoid2size = [], {}
+    for v in range(num_videos):
+        vid = str(10000 + v)
+        width, height = int(rng.integers(200, 480)), int(rng.integers(150, 360))
+        videoid2size[vid] = [width, height]
+        frames = []
+        for _ in range(int(rng.integers(*num_frames_range))):
+            objs = []
+            for _o in range(int(rng.integers(0, 4))):
+                x1, y1 = rng.uniform(0, width - 2), rng.uniform(0, height - 2)
+                objs.append(
+                    {
+                        "category": "hand" if rng.random() < 0.4 else "object",
+                        "x1": float(x1),
+                        "y1": float(y1),
+                        "x2": float(x1 + rng.uniform(1, width - x1)),
+                        "y2": float(y1 + rng.uniform(1, height - y1)),
+                        "score": float(rng.uniform(0.2, 1.0)),
+                    }
+                )
+            frames.append({"frame_objects": objs})
+        videos.append(
+            {
+                "id": vid,
+                "template": f"[{templates[v % len(templates)]}]"
+                if v % 2
+                else templates[v % len(templates)],
+                "frames": frames,
+            }
+        )
+    paths = {
+        "dataset_path": os.path.join(tmpdir, "dataset.json"),
+        "labels_path": os.path.join(tmpdir, "labels.json"),
+        "videoid2size_path": os.path.join(tmpdir, "videoid2size.json"),
+    }
+    json.dump(videos, open(paths["dataset_path"], "w"))
+    json.dump(labels, open(paths["labels_path"], "w"))
+    json.dump(videoid2size, open(paths["videoid2size_path"], "w"))
+    return paths, videos, labels, videoid2size
+
+
+def make_action_genome_fixture(tmpdir, num_videos=4, seed=1):
+    """Action-Genome-style: multi-label actions, object categories, scores kept."""
+    rng = np.random.default_rng(seed)
+    num_actions = 10
+    labels = {f"c{i:03d}": str(i) for i in range(num_actions)}
+    categories = ["person", "chair", "book", "table", "floor"]
+    videos, videoid2size = [], {}
+    for v in range(num_videos):
+        vid = f"AG{v:04d}"
+        width, height = 480, 270
+        videoid2size[vid] = [width, height]
+        frames = []
+        for _ in range(int(rng.integers(3, 12))):
+            objs = []
+            for _o in range(int(rng.integers(1, 4))):
+                x1, y1 = rng.uniform(0, width - 2), rng.uniform(0, height - 2)
+                objs.append(
+                    {
+                        "category": str(rng.choice(categories)),
+                        "x1": float(x1),
+                        "y1": float(y1),
+                        "x2": float(x1 + rng.uniform(1, width - x1)),
+                        "y2": float(y1 + rng.uniform(1, height - y1)),
+                        "score": float(rng.uniform(0.3, 1.0)),
+                    }
+                )
+            frames.append({"frame_objects": objs})
+        actions = [
+            f"c{int(a):03d}"
+            for a in rng.choice(num_actions, size=int(rng.integers(1, 4)), replace=False)
+        ]
+        videos.append({"id": vid, "actions": actions, "frames": frames})
+    paths = {
+        "dataset_path": os.path.join(tmpdir, "ag_dataset.json"),
+        "labels_path": os.path.join(tmpdir, "ag_labels.json"),
+        "videoid2size_path": os.path.join(tmpdir, "ag_videoid2size.json"),
+    }
+    json.dump(videos, open(paths["dataset_path"], "w"))
+    json.dump(labels, open(paths["labels_path"], "w"))
+    json.dump(videoid2size, open(paths["videoid2size_path"], "w"))
+    return paths, videos, labels, videoid2size
