@@ -1,0 +1,116 @@
+"""Host-side batching loader with background prefetch.
+
+The TPU-native replacement for ``torch.utils.data.DataLoader`` usage in the
+reference (``src/train.py:70-84``): per-epoch shuffling, collation to fixed
+static shapes, and a background thread that assembles the next batches while
+the device computes (double buffering; the host↔device transfer overlaps via
+``jax.device_put`` happening on the consumer side).
+
+Static-shape policy: every batch has exactly ``batch_size`` rows. The final
+partial batch is padded by repeating row 0 and carries a boolean ``valid``
+mask (consumed by the masked-mean criterion and the evaluators), which is
+loss- and metric-equivalent to the reference's smaller final batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable[[List[dict]], Dict[str, np.ndarray]],
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        return order
+
+    def _make_batch(self, idxs: np.ndarray, rng: Optional[np.random.Generator]):
+        samples = [
+            self.dataset.__getitem__(int(i), rng=rng)
+            if rng is not None
+            else self.dataset[int(i)]
+            for i in idxs
+        ]
+        valid = np.ones((self.batch_size,), dtype=bool)
+        if len(samples) < self.batch_size:
+            valid[len(samples):] = False
+            samples = samples + [samples[0]] * (self.batch_size - len(samples))
+        batch = self.collate(samples)
+        batch["valid"] = valid
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        # One generator per epoch: train-time sampling jitter is reproducible
+        # given (seed, epoch) yet differs across epochs.
+        rng = (
+            np.random.default_rng((self.seed + 1, self.epoch))
+            if getattr(self.dataset, "config", None) is not None
+            and getattr(self.dataset.config, "train", False)
+            else None
+        )
+        self.epoch += 1
+        num_batches = len(self)
+        chunks = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(num_batches)
+        ]
+
+        if self.prefetch <= 0:
+            for chunk in chunks:
+                yield self._make_batch(chunk, rng)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    q.put(self._make_batch(chunk, rng))
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

@@ -1,0 +1,59 @@
+"""Device-mesh construction.
+
+The reference is strictly single-device (``src/utils/train_inference_utils.py:8-18``);
+this module is the TPU-native replacement: a named ``jax.sharding.Mesh`` with
+
+- ``data``  — batch (DP) axis; gradient all-reduce is emitted by XLA,
+- ``model`` — tensor-parallel (TP) axis for attention heads / FFN hidden.
+
+Axes ride ICI inside a slice; multi-slice DCN meshes can be expressed by
+passing an explicit device array. PP/EP are explicit non-goals (SURVEY.md
+§2.6 — the models are ≤ ~120M params with no MoE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    batch_size: Optional[int] = None,
+) -> Mesh:
+    """Mesh of shape (n_devices // model_parallel, model_parallel).
+
+    If ``batch_size`` is given and doesn't divide the data axis, the data
+    axis shrinks to the largest divisor of both (dropping surplus devices),
+    so small/debug batch sizes still run.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"model_parallel={model_parallel} does not divide {n} devices"
+        )
+    data = n // model_parallel
+    if batch_size is not None:
+        import math
+
+        data = math.gcd(data, batch_size)
+    grid = np.asarray(devices[: data * model_parallel]).reshape(data, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over the data axis, everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

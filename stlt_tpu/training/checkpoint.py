@@ -1,0 +1,69 @@
+"""Checkpointing.
+
+Reference behavior (``src/train.py:144-152``): save the model state_dict when
+validation improves (``evaluator.is_best()``), optionally the backbone
+separately; no optimizer state, no resume. We keep that "deliverable
+checkpoint" surface (flax msgpack instead of torch .pt) and ADD what the
+reference lacks (SURVEY.md §5): Orbax step checkpoints with params + optimizer
+state + step for crash-resume.
+
+``load_params`` transparently accepts torch ``.pt``/``.pth`` files and runs
+them through the converter, so the released reference checkpoints load
+directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_params(path: str, params: Any) -> None:
+    params = jax.device_get(params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, template: Any, *, strict: bool = True) -> Any:
+    if path.endswith((".pt", ".pth")):
+        from stlt_tpu.utils.convert import load_torch_state_dict, torch_to_flax_params
+
+        return torch_to_flax_params(
+            load_torch_state_dict(path), template, strict=strict
+        )
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+# --- Orbax step checkpoints (resume support; no reference counterpart) ------
+
+
+def make_checkpoint_manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+    )
+
+
+def save_train_state(manager, step: int, state) -> None:
+    import orbax.checkpoint as ocp
+
+    manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+
+
+def restore_train_state(manager, state_template) -> Optional[Any]:
+    """Restore the latest step, or None if the directory is empty."""
+    import orbax.checkpoint as ocp
+
+    step = manager.latest_step()
+    if step is None:
+        return None
+    target = jax.device_get(state_template)
+    return manager.restore(step, args=ocp.args.StandardRestore(target))

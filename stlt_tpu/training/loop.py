@@ -1,0 +1,140 @@
+"""Compiled train/eval steps over a device mesh.
+
+The TPU-native replacement for the reference's Python training loop body
+(``src/train.py:115-143``): the zero_grad → forward → loss → backward → clip →
+AdamW step → LR-schedule chain is fused into ONE ``jit``-compiled, donated,
+mesh-sharded ``train_step``. Batches are sharded over the ``data`` axis;
+parameters/optimizer state follow the TP rules in
+``stlt_tpu.parallel.sharding`` (replicated when ``model_parallel == 1``).
+XLA emits the gradient all-reduce — there is no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stlt_tpu.parallel.mesh import DATA_AXIS
+from stlt_tpu.parallel.sharding import params_shardings, tree_shardings_like
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+
+def make_train_step(
+    model, tx: optax.GradientTransformation, criterion: Callable
+) -> Callable:
+    """Returns train_step(state, batch, dropout_key) -> (state, loss)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], dropout_key):
+        rng = jax.random.fold_in(dropout_key, state.step)
+        valid = batch.get("valid")
+        model_inputs = {
+            k: v for k, v in batch.items() if k not in ("labels", "valid")
+        }
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params},
+                model_inputs,
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return criterion(logits, batch["labels"], valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            loss,
+        )
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    def eval_step(params: Any, batch: Dict[str, jnp.ndarray]):
+        model_inputs = {
+            k: v for k, v in batch.items() if k not in ("labels", "valid")
+        }
+        return model.apply({"params": params}, model_inputs, deterministic=True)
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class CompiledSteps:
+    mesh: Mesh
+    state_sharding: Any
+    params_sharding: Any
+    train_step: Optional[Callable]
+    eval_step: Callable
+
+    def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def compile_steps(
+    mesh: Mesh,
+    model,
+    tx: Optional[optax.GradientTransformation] = None,
+    criterion: Optional[Callable] = None,
+    state: Optional[TrainState] = None,
+    params_template: Any = None,
+) -> CompiledSteps:
+    """Wrap train/eval steps in jit with explicit mesh shardings.
+
+    Pass ``state`` (+ ``tx``/``criterion``) for training, or just
+    ``params_template`` for inference-only. The returned
+    ``state_sharding``/``params_sharding`` trees are what the caller should
+    ``device_put`` its state/params with before the first step.
+    """
+    batch_shard = NamedSharding(mesh, P(DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    p_template = state.params if state is not None else params_template
+    assert p_template is not None, "need state or params_template"
+    p_shard = params_shardings(mesh, p_template)
+
+    state_sharding = None
+    train_step = None
+    if state is not None and tx is not None:
+        state_sharding = TrainState(
+            step=replicated,
+            params=p_shard,
+            opt_state=tree_shardings_like(mesh, state.opt_state, p_shard),
+        )
+        raw_train = make_train_step(model, tx, criterion)
+        train_step = jax.jit(
+            raw_train,
+            in_shardings=(state_sharding, batch_shard, replicated),
+            out_shardings=(state_sharding, replicated),
+            donate_argnums=(0,),
+        )
+
+    eval_step = jax.jit(make_eval_step(model), in_shardings=(p_shard, batch_shard))
+
+    return CompiledSteps(
+        mesh=mesh,
+        state_sharding=state_sharding,
+        params_sharding=p_shard,
+        train_step=train_step,
+        eval_step=eval_step,
+    )

@@ -54,6 +54,36 @@ def _strip_prefix(state_dict: Dict[str, np.ndarray], prefix: str) -> Dict[str, n
     }
 
 
+# The reference wraps the R3D in nn.Sequential(*children[:-2])
+# (models.py:205), which renumbers submodules: 0=conv1, 1=bn1, 2=relu,
+# 3=maxpool, 4..7=layer1..layer4. Released appearance/fusion checkpoints
+# therefore contain "…resnet.0.weight" style keys; rename them back.
+_SEQUENTIAL_RESNET = {
+    "0": "conv1",
+    "1": "bn1",
+    "4": "layer1",
+    "5": "layer2",
+    "6": "layer3",
+    "7": "layer4",
+}
+_SEQ_RE = __import__("re").compile(r"(^|\.)resnet\.([0-7])\.")
+
+
+def _unwrap_sequential_resnet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def fix(key: str) -> str:
+        while True:
+            m = _SEQ_RE.search(key)
+            if not m or m.group(2) not in _SEQUENTIAL_RESNET:
+                return key
+            key = (
+                key[: m.start()]
+                + f"{m.group(1)}resnet.{_SEQUENTIAL_RESNET[m.group(2)]}."
+                + key[m.end():]
+            )
+
+    return {fix(k): v for k, v in state_dict.items()}
+
+
 def _torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     """Translate a flax param path to (torch parameter name, transform).
 
@@ -61,24 +91,28 @@ def _torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     """
     parts = list(path)
     leaf = parts.pop()
-    # layers_{i} → layers.{i}
-    parts = [
-        f"layers.{p.split('_', 1)[1]}" if p.startswith("layers_") else p
-        for p in parts
-    ]
-    module = ".".join(parts)
+    fixed = []
+    for p in parts:
+        if p.startswith("layers_"):
+            fixed.append(f"layers.{p.split('_', 1)[1]}")  # encoder stacks
+        elif p in ("downsample_0", "downsample_1"):
+            fixed.append(p.replace("_", "."))  # R3D downsample Sequential
+        else:
+            fixed.append(p)
+    module = ".".join(fixed)
 
-    if leaf == "embedding":
-        return f"{module}.weight", ""
-    if leaf == "scale":
-        return f"{module}.weight", ""
+    def dotted(name: str) -> str:
+        return f"{module}.{name}" if module else name
+
+    if leaf in ("embedding", "scale"):
+        return dotted("weight"), ""
     if leaf == "kernel":
-        return f"{module}.weight", "transpose"
+        return dotted("weight"), "transpose"
     if leaf in ("bias", "mean", "var"):
         torch_leaf = {"bias": "bias", "mean": "running_mean", "var": "running_var"}[leaf]
-        return f"{module}.{torch_leaf}", ""
+        return dotted(torch_leaf), ""
     # Raw params (position_embeddings, cls_token, pos_embed) keep their name.
-    return f"{module}.{leaf}", ""
+    return dotted(leaf), ""
 
 
 def _fetch(
@@ -86,7 +120,7 @@ def _fetch(
 ) -> np.ndarray:
     """Fetch + transform the torch tensor for one flax param leaf."""
     # MHA in-projections: torch stacks q/k/v as in_proj_weight [3H, H].
-    if len(path) >= 2 and path[-2] in ("q_proj", "k_proj", "v_proj"):
+    if len(path) >= 2 and path[-2] in ("q_proj", "k_proj", "v_proj"):  # noqa: SIM102
         which = {"q_proj": 0, "k_proj": 1, "v_proj": 2}[path[-2]]
         module = ".".join(
             f"layers.{p.split('_', 1)[1]}" if p.startswith("layers_") else p
@@ -134,7 +168,7 @@ def torch_to_flax_params(
     missing from the state_dict keep their template values (the reference's
     ``strict=False`` fallback for score_embeddings, inference.py:59-69).
     """
-    sd = _strip_prefix(state_dict, strip_prefix)
+    sd = _unwrap_sequential_resnet(_strip_prefix(state_dict, strip_prefix))
     flat = traverse_util.flatten_dict(params_template)
     out = {}
     for path, template in flat.items():

@@ -6,8 +6,15 @@ import os
 import numpy as np
 
 
-def make_something_fixture(tmpdir, num_videos=6, num_frames_range=(4, 30), seed=0):
-    """Write a tiny Something-Else-style layout dataset + labels + sizes."""
+def make_something_fixture(
+    tmpdir, num_videos=6, num_frames_range=(4, 30), seed=0, constant_frames=False
+):
+    """Write a tiny Something-Else-style layout dataset + labels + sizes.
+
+    With ``constant_frames=True`` every frame of a video repeats the same
+    objects, so the label signal survives stochastic frame re-sampling —
+    needed for overfitting tests.
+    """
     rng = np.random.default_rng(seed)
     templates = [f"Doing thing {i}" for i in range(4)]
     labels = {t: str(i) for i, t in enumerate(templates)}
@@ -16,10 +23,10 @@ def make_something_fixture(tmpdir, num_videos=6, num_frames_range=(4, 30), seed=
         vid = str(10000 + v)
         width, height = int(rng.integers(200, 480)), int(rng.integers(150, 360))
         videoid2size[vid] = [width, height]
-        frames = []
-        for _ in range(int(rng.integers(*num_frames_range))):
+
+        def random_objects():
             objs = []
-            for _o in range(int(rng.integers(0, 4))):
+            for _o in range(int(rng.integers(0 if not constant_frames else 1, 4))):
                 x1, y1 = rng.uniform(0, width - 2), rng.uniform(0, height - 2)
                 objs.append(
                     {
@@ -31,7 +38,14 @@ def make_something_fixture(tmpdir, num_videos=6, num_frames_range=(4, 30), seed=
                         "score": float(rng.uniform(0.2, 1.0)),
                     }
                 )
-            frames.append({"frame_objects": objs})
+            return objs
+
+        num_frames = int(rng.integers(*num_frames_range))
+        if constant_frames:
+            shared = random_objects()
+            frames = [{"frame_objects": shared} for _ in range(num_frames)]
+        else:
+            frames = [{"frame_objects": random_objects()} for _ in range(num_frames)]
         videos.append(
             {
                 "id": vid,

@@ -1,0 +1,93 @@
+"""Mesh/sharding correctness on the 8-device virtual CPU mesh.
+
+Tensor parallelism must be numerically invisible: the same params and batch
+must produce (near-)identical logits and losses for model_parallel ∈ {1, 2, 4}.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from __graft_entry__ import _synthetic_layout_batch
+from stlt_tpu.configs import StltModelConfig
+from stlt_tpu.models import models_factory
+from stlt_tpu.parallel.mesh import make_mesh
+from stlt_tpu.parallel.sharding import param_spec, params_partition_specs
+from stlt_tpu.training.criterion import make_criterion
+from stlt_tpu.training.loop import compile_steps, create_train_state
+from stlt_tpu.training.optimizer import make_optimizer
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(1, batch_size=4)
+    assert mesh.shape == {"data": 4, "model": 1}
+
+
+def test_param_specs():
+    assert param_spec(("a", "q_proj", "kernel")) == P(None, "model")
+    assert param_spec(("a", "q_proj", "bias")) == P("model")
+    assert param_spec(("a", "out_proj", "kernel")) == P("model", None)
+    assert param_spec(("a", "out_proj", "bias")) == P()
+    assert param_spec(("a", "linear1", "kernel")) == P(None, "model")
+    assert param_spec(("a", "linear2", "kernel")) == P("model", None)
+    assert param_spec(("a", "layer_norm", "scale")) == P()
+    assert param_spec(("a", "category_embeddings", "embedding")) == P()
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    config = StltModelConfig(
+        num_classes=7,
+        unique_categories=4,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_spatial_layers=1,
+        num_temporal_layers=1,
+        hidden_dropout_prob=0.0,
+    )
+    model = models_factory["stlt"](config)
+    batch = _synthetic_layout_batch(8, 6, 4, 4, seed=5)
+    batch["labels"] = batch["labels"] % 7
+    batch["valid"] = np.ones(8, bool)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    return model, params, batch
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2, 4])
+def test_tp_invariant_eval(tiny_setup, model_parallel):
+    model, params, batch = tiny_setup
+    mesh = make_mesh(model_parallel)
+    steps = compile_steps(mesh, model, params_template=params)
+    sharded = jax.device_put(params, steps.params_sharding)
+    logits = np.asarray(steps.eval_step(sharded, batch)["stlt"])
+    # single-device reference
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    ref = np.asarray(model.apply({"params": params}, inputs)["stlt"])
+    np.testing.assert_allclose(logits, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_invariant_train_loss(tiny_setup):
+    model, params, batch = tiny_setup
+    criterion = make_criterion("something")
+    losses = {}
+    for mp in (1, 2):
+        # deep-copy: train_step donates its state, and device_put to an
+        # identical sharding aliases rather than copies
+        run_params = jax.tree_util.tree_map(np.array, params)
+        tx = make_optimizer(
+            run_params, learning_rate=1e-3, weight_decay=1e-3, clip_val=5.0,
+            num_warmup_steps=1, num_training_steps=10,
+        )
+        state = create_train_state(run_params, tx)
+        mesh = make_mesh(mp)
+        steps = compile_steps(mesh, model, tx, criterion, state=state)
+        state = jax.device_put(state, steps.state_sharding)
+        for _ in range(3):
+            state, loss = steps.train_step(state, batch, jax.random.PRNGKey(9))
+        losses[mp] = float(loss)
+    assert np.isfinite(losses[1])
+    np.testing.assert_allclose(losses[1], losses[2], atol=1e-4, rtol=1e-4)

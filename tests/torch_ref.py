@@ -154,3 +154,143 @@ def torch_batch_from_numpy(batch_np):
     out["src_key_padding_mask_boxes"] = out["categories"] == 0
     out["src_key_padding_mask_frames"] = out["frame_types"] == 0
     return out
+
+
+# --- fusion oracle (reference models.py:286-549) ---------------------------
+
+from tests.torch_ref_appearance import TorchTransformerResnet  # noqa: E402
+
+
+class TorchFusionHead(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.fc1 = nn.Linear(cfg.hidden_size * 2, cfg.hidden_size)
+        self.layer_norm = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
+        self.fc2 = nn.Linear(cfg.hidden_size, cfg.num_classes)
+
+    def forward(self, h):
+        return self.fc2(self.layer_norm(F.gelu(self.fc1(h))))
+
+
+class TorchFeedforward(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.linear1 = nn.Linear(cfg.hidden_size, cfg.hidden_size * 4)
+        self.linear2 = nn.Linear(cfg.hidden_size * 4, cfg.hidden_size)
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.ln = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
+
+    def forward(self, x):
+        return self.ln(self.dropout(self.linear2(F.gelu(self.linear1(x)))) + x)
+
+
+class TorchSelfAttention(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(
+            cfg.hidden_size, cfg.num_attention_heads, dropout=cfg.hidden_dropout_prob
+        )
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.ln = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
+
+    def forward(self, x, causal_mask=None, key_padding_mask=None):
+        h = self.attn(x, x, x, key_padding_mask=key_padding_mask, attn_mask=causal_mask)[0]
+        return self.ln(self.dropout(h) + x)
+
+
+class TorchCrossAttention(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(
+            cfg.hidden_size, cfg.num_attention_heads, dropout=cfg.hidden_dropout_prob
+        )
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.ln = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
+
+    def forward(self, inputs, context, context_padding_mask=None):
+        h = self.attn(inputs, context, context, key_padding_mask=context_padding_mask)[0]
+        return self.ln(self.dropout(h) + inputs)
+
+
+class TorchCrossModal(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.cross_attn = TorchCrossAttention(cfg)
+        self.layout_attn = TorchSelfAttention(cfg)
+        self.layout_ffn = TorchFeedforward(cfg)
+        self.appearance_attn = TorchSelfAttention(cfg)
+        self.appearance_ffn = TorchSelfAttention(cfg)  # reference quirk
+
+    def forward(self, lay, app, causal, lay_pad):
+        lay_o = self.cross_attn(lay, app)
+        app_o = self.cross_attn(app, lay, lay_pad)
+        lay_o = self.layout_attn(lay_o, causal_mask=causal, key_padding_mask=lay_pad)
+        app_o = self.appearance_attn(app_o)
+        return self.layout_ffn(lay_o), self.appearance_ffn(app_o)
+
+
+class TorchCafBackbone(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.layout_branch = TorchStltBackbone(cfg.stlt_config)
+        self.appearance_branch = TorchTransformerResnet(cfg.appearance_config)
+        self.mm_fusion = nn.ModuleList(
+            [TorchCrossModal(cfg) for _ in range(cfg.num_fusion_layers)]
+        )
+
+    def forward(self, batch):
+        causal = causal_mask(batch["categories"].size(1))
+        lay = self.layout_branch(batch)                      # [F, B, H]
+        app = self.appearance_branch.forward_features(batch)  # [S+1, B, H]
+        rows = torch.arange(batch["categories"].size(0))
+        lay_state = lay[batch["lengths"] - 1, rows, :]
+        app_state = app[0, :, :]
+        for layer in self.mm_fusion:
+            lay, app = layer(lay, app, causal, batch["src_key_padding_mask_frames"])
+        fused = torch.cat((lay[batch["lengths"] - 1, rows, :], app[0, :, :]), dim=-1)
+        return {
+            "layout_hidden_state": lay_state,
+            "appearance_hidden_state": app_state,
+            "last_fused_state": fused,
+        }
+
+
+class TorchLCF(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.layout_branch = TorchStltBackbone(cfg.stlt_config)
+        self.appearance_branch = TorchTransformerResnet(cfg.appearance_config)
+        self.classifier = TorchFusionHead(cfg)
+
+    def forward(self, batch):
+        lay = self.layout_branch(batch)
+        rows = torch.arange(batch["categories"].size(0))
+        lay = lay[batch["lengths"] - 1, rows, :]
+        app = self.appearance_branch.forward_features(batch)[0, :, :]
+        return {"lcf": self.classifier(torch.cat((lay, app), dim=-1))}
+
+
+class TorchCAF(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.caf_backbone = TorchCafBackbone(cfg)
+        self.classifier = TorchFusionHead(cfg)
+
+    def forward(self, batch):
+        return {"caf": self.classifier(self.caf_backbone(batch)["last_fused_state"])}
+
+
+class TorchCACNF(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.backbone = TorchCafBackbone(cfg)
+        self.layout_classifier = TorchClassificationHead(cfg)
+        self.appearance_classifier = TorchClassificationHead(cfg)
+        self.fusion_classifier = TorchFusionHead(cfg)
+
+    def forward(self, batch):
+        s = self.backbone(batch)
+        a = self.layout_classifier(s["layout_hidden_state"])
+        b = self.appearance_classifier(s["appearance_hidden_state"])
+        c = self.fusion_classifier(s["last_fused_state"])
+        return {"stlt": a, "resnet3d": b, "caf": c, "ensemble": (a + b + c) / 3}
