@@ -33,37 +33,32 @@ from stlt_tpu.models import models_factory
 NORTH_STAR = 5000.0  # clips/sec/chip
 
 
-def chained_forward_time(model, params, batch_size, chain_len, config_key=0):
-    """Seconds for ONE jit call running `chain_len` dependency-chained
-    forwards; returns wall time after the result scalar is on the host."""
-    batch = _synthetic_layout_batch(batch_size, 17, 8, 4, seed=config_key)
-    inputs = {k: v for k, v in batch.items() if k != "labels"}
-    inputs = jax.device_put(inputs)
+def bench_batch_size(model, params, batch_size, n_short=2, n_long=18):
+    """Dispatch n forwards back-to-back on the device stream and fetch one
+    scalar from the LAST output (executions on a single device are in-order,
+    so the fetch bounds them all). Per-forward time = (t_long - t_short) /
+    (n_long - n_short) — the tunnel RTT and dispatch overhead cancel. Only
+    one executable is compiled."""
+    batch = _synthetic_layout_batch(batch_size, 17, 8, 4)
+    inputs = jax.device_put({k: v for k, v in batch.items() if k != "labels"})
 
     @jax.jit
-    def run(params, inputs):
-        def body(carry, _):
-            # tiny carry-dependent perturbation → true sequential dependency
-            perturbed = dict(inputs)
-            perturbed["boxes"] = inputs["boxes"] + (carry * 1e-20).astype(
-                inputs["boxes"].dtype
-            )
-            out = model.apply({"params": params}, perturbed)["stlt"]
-            return jnp.tanh(out.sum()), None
+    def forward(params, inputs):
+        return model.apply({"params": params}, inputs)["stlt"][0, 0]
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=chain_len)
-        return carry
+    _ = np.asarray(forward(params, inputs))  # compile + warm
 
-    _ = np.asarray(run(params, inputs))  # compile + warm
-    t0 = time.perf_counter()
-    _ = np.asarray(run(params, inputs))
-    return time.perf_counter() - t0
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = forward(params, inputs)
+        _ = np.asarray(out)
+        return time.perf_counter() - t0
 
-
-def bench_batch_size(model, params, batch_size, chain_len=32):
-    t1 = chained_forward_time(model, params, batch_size, 1)
-    tk = chained_forward_time(model, params, batch_size, chain_len)
-    per_forward = max((tk - t1) / (chain_len - 1), 1e-9)
+    timed(1)  # warm the fetch path
+    t_short = min(timed(n_short) for _ in range(3))
+    t_long = min(timed(n_long) for _ in range(3))
+    per_forward = max((t_long - t_short) / (n_long - n_short), 1e-9)
     return batch_size / per_forward
 
 
@@ -84,11 +79,10 @@ def main():
     )["params"]
     params = jax.device_put(params)
 
-    best, best_bs = 0.0, 0
-    for bs in (256, 512, 1024):
-        rate = bench_batch_size(model, params, bs)
-        if rate > best:
-            best, best_bs = rate, bs
+    # One batch size: remote compiles are expensive (~30-60s each through the
+    # tunnel); 1024 saturates the chip for this model.
+    best_bs = 1024
+    best = bench_batch_size(model, params, best_bs)
     print(
         json.dumps(
             {

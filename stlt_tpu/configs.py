@@ -195,6 +195,9 @@ class AppearanceModelConfig(GeneralModelConfig):
     appearance_num_frames: int = 0
     resnet_model_path: Optional[str] = None
     num_appearance_layers: int = 4
+    # TPU extension: R3D depth (reference generate_model supports 10-200 but
+    # hardcodes 50 in Resnet3D, models.py:201).
+    resnet_depth: int = 50
 
     def __post_init__(self):
         super().__post_init__()
@@ -210,6 +213,7 @@ class MultimodalModelConfig(GeneralModelConfig):
     appearance_num_frames: int = 0
     resnet_model_path: Optional[str] = None
     num_appearance_layers: int = 4
+    resnet_depth: int = 50
     num_fusion_layers: int = 4
     load_backbone_path: Optional[str] = None
     freeze_backbone: bool = False
@@ -246,6 +250,7 @@ class MultimodalModelConfig(GeneralModelConfig):
             appearance_num_frames=self.appearance_num_frames,
             resnet_model_path=self.resnet_model_path,
             num_appearance_layers=self.num_appearance_layers,
+            resnet_depth=self.resnet_depth,
         )
 
 

@@ -1,0 +1,102 @@
+"""Appearance (RGB) dataset: HDF5 JPEG archive → fixed-shape float frames.
+
+Reference: ``AppearanceDataset`` (``src/modelling/datasets.py:139-208``) —
+one HDF5 group per video id with one JPEG-bytes dataset per frame index,
+opened lazily with SWMR for concurrent readers; stride-2 window sampling
+(``sample_appearance_indices``); resize-128 → (train: per-clip color jitter +
+shared random crop | eval: center crop) → 112px, mean/std 0.5.
+
+TPU-first divergence: output is channel-LAST ``[T, S, S, 3]`` float32 (the
+models' native layout) instead of torch's ``[C, T, S, S]``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from stlt_tpu.configs import DataConfig
+from stlt_tpu.data.samplers import sample_appearance_indices
+from stlt_tpu.data.transforms import (
+    VideoColorJitter,
+    center_crop,
+    crop,
+    normalize_to_array,
+    random_crop_params,
+    resize_shorter_side,
+    resize_target,
+)
+
+_TEMPLATE_BRACKETS = re.compile(r"[\[\]]")
+
+
+class AppearanceDataset:
+    def __init__(self, config: DataConfig, json_file: Optional[List[dict]] = None):
+        self.config = config
+        if json_file is None:
+            with open(config.dataset_path) as f:
+                json_file = json.load(f)
+        self.json_file = json_file
+        with open(config.labels_path) as f:
+            self.labels = json.load(f)
+        self._videos = None  # lazy per-process open (SWMR), reference :158-165
+        self._resize_to = resize_target(config.spatial_size)
+
+    def __len__(self) -> int:
+        return len(self.json_file)
+
+    @property
+    def videos(self):
+        if self._videos is None:
+            import h5py
+
+            self._videos = h5py.File(
+                self.config.videos_path, "r", libver="latest", swmr=True
+            )
+        return self._videos
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        cfg = self.config
+        if rng is None:
+            rng = np.random.default_rng()
+        video_id = self.json_file[idx]["id"]
+        group = self.videos[video_id]
+        num_frames = len(group)
+        indices = sample_appearance_indices(
+            cfg.appearance_num_frames, num_frames, cfg.train, rng=rng
+        )
+        frames = [
+            resize_shorter_side(
+                Image.open(io.BytesIO(np.asarray(group[str(i)]))).convert("RGB"),
+                self._resize_to,
+            )
+            for i in indices
+        ]
+        if cfg.train:
+            jitter = VideoColorJitter(rng)
+            top, left, h, w = random_crop_params(frames[0], cfg.spatial_size, rng)
+            frames = [crop(jitter(f), top, left, h, w) for f in frames]
+        else:
+            frames = [center_crop(f, cfg.spatial_size) for f in frames]
+        video = np.stack([normalize_to_array(f) for f in frames])  # [T, S, S, 3]
+        label = np.asarray(
+            int(
+                self.labels[
+                    _TEMPLATE_BRACKETS.sub("", self.json_file[idx]["template"])
+                ]
+            ),
+            dtype=np.int32,
+        )
+        return {"video_id": video_id, "video_frames": video, "labels": label}
+
+
+def collate_appearance(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    return {
+        "video_frames": np.stack([s["video_frames"] for s in samples]),
+        "labels": np.stack([s["labels"] for s in samples]),
+    }

@@ -32,6 +32,8 @@ from stlt_tpu.training.loop import compile_steps
 
 
 def inference(args):
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     logging.basicConfig(level=logging.INFO)
     logging.info("Devices: %s", jax.devices())
     logging.info("Preparing dataset...")
@@ -58,6 +60,7 @@ def inference(args):
         num_attention_heads=args.num_attention_heads,
         num_appearance_layers=args.num_appearance_layers,
         num_fusion_layers=args.num_fusion_layers,
+        resnet_depth=args.resnet_depth,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
     )

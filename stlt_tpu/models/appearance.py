@@ -49,7 +49,8 @@ class Resnet3D(nn.Module):
 
     def setup(self):
         self.resnet = ResNet3D(
-            model_depth=50, dtype=jnp.dtype(self.config.compute_dtype)
+            model_depth=self.config.resnet_depth,
+            dtype=jnp.dtype(self.config.compute_dtype),
         )
         # Lazily materialized: params exist only if __call__ runs (matching
         # the converter's view of feature-only checkpoints).

@@ -39,6 +39,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="The number of appearance frames to sample per video.")
     p.add_argument("--score_threshold", type=float, default=0.5,
                    help="The score threshold for the categories.")
+    p.add_argument("--spatial_size", type=int, default=112,
+                   help="RGB crop size (reference DataConfig knob, configs.py:28).")
     p.add_argument("--num_spatial_layers", type=int, default=4,
                    help="The number of spatial transformer layers.")
     p.add_argument("--num_temporal_layers", type=int, default=8,
@@ -77,7 +79,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="Appearance transformer layers.")
     p.add_argument("--num_fusion_layers", type=int, default=4,
                    help="Cross-modal fusion layers.")
+    p.add_argument("--resnet_depth", type=int, default=50,
+                   help="R3D depth (10/18/34/50/101/152/200).")
     # --- TPU-native flags (no reference counterpart) ---
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a JAX platform (e.g. cpu, tpu). Applied before "
+                        "backend init; overrides JAX_PLATFORMS.")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Tensor-parallel axis size (must divide device count).")
     p.add_argument("--compute_dtype", type=str, default="float32",

@@ -60,6 +60,7 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         layout_num_frames=args.layout_num_frames,
         appearance_num_frames=args.appearance_num_frames,
         score_threshold=args.score_threshold,
+        spatial_size=args.spatial_size,
     )
 
 
@@ -68,6 +69,8 @@ def model_inputs_template(batch):
 
 
 def train(args):
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     setup_logging(args.log_filepath)
     logging.info("Devices: %s", jax.devices())
     logging.info("Preparing datasets...")
@@ -110,6 +113,7 @@ def train(args):
         num_attention_heads=args.num_attention_heads,
         num_appearance_layers=args.num_appearance_layers,
         num_fusion_layers=args.num_fusion_layers,
+        resnet_depth=args.resnet_depth,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
     )
@@ -130,8 +134,12 @@ def train(args):
             args.load_backbone_path, params["backbone"]
         )
         logging.info("Loaded backbone from %s", args.load_backbone_path)
-    if args.resnet_model_path and hasattr(model, "load_resnet_params"):
-        params = model.load_resnet_params(params, args.resnet_model_path)
+    if args.resnet_model_path:
+        # Kinetics R3D-50 init (reference Resnet3D.__init__, models.py:201-204).
+        from stlt_tpu.utils.convert import load_kinetics_r3d
+
+        params = load_kinetics_r3d(params, args.resnet_model_path)
+        logging.info("Loaded Kinetics R3D from %s", args.resnet_model_path)
 
     criterion = make_criterion(args.dataset_name)
     num_batches = len(train_dataset) // args.batch_size

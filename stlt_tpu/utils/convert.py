@@ -154,6 +154,23 @@ def _fetch(
     return arr
 
 
+def load_kinetics_r3d(params: Any, path: str) -> Any:
+    """Load the Kinetics R3D checkpoint (``r3d50_KMS_200ep.pth``, reference
+    models.py:201-204) into every raw-R3D subtree of ``params`` (the subtree
+    with conv1/bn1/layer1.0 children). The checkpoint's avgpool/fc are
+    ignored, like the reference's children[:-2] strip (models.py:205)."""
+    sd = load_torch_state_dict(path)
+
+    def walk(node):
+        if isinstance(node, dict) and {"conv1", "bn1", "layer1.0"} <= set(node):
+            return torch_to_flax_params(sd, node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def torch_to_flax_params(
     state_dict: Dict[str, np.ndarray],
     params_template: Any,

@@ -66,6 +66,32 @@ def make_something_fixture(
     return paths, videos, labels, videoid2size
 
 
+def make_video_hdf5(tmpdir, videoid2size, num_frames=12, seed=0, filename="videos.h5"):
+    """Write an HDF5 JPEG-frame archive matching the reference pil2hdf5.py
+    format: one group per video id, one uint8-bytes dataset per frame index."""
+    import io
+
+    import h5py
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    path = os.path.join(tmpdir, filename)
+    with h5py.File(path, "w", libver="latest") as f:
+        for vid, (w, h) in videoid2size.items():
+            grp = f.create_group(vid)
+            # small frames keep the fixture fast; decoding path is identical
+            for i in range(num_frames):
+                img = Image.fromarray(
+                    rng.integers(0, 255, (max(h // 4, 40), max(w // 4, 40), 3), dtype=np.uint8),
+                    "RGB",
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = np.frombuffer(buf.getvalue(), dtype=np.uint8)
+                grp.create_dataset(str(i), data=data)
+    return path
+
+
 def make_action_genome_fixture(tmpdir, num_videos=4, seed=1):
     """Action-Genome-style: multi-label actions, object categories, scores kept."""
     rng = np.random.default_rng(seed)

@@ -127,3 +127,56 @@ class TorchTransformerResnet(nn.Module):
     def forward(self, batch):
         feats = self.forward_features(batch)
         return {"resnet3d": self.classifier(feats[0])}
+
+
+class TorchBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, in_planes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv3d(in_planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm3d(planes)
+        self.conv2 = nn.Conv3d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm3d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        h = self.relu(self.bn1(self.conv1(x)))
+        h = self.bn2(self.conv2(h))
+        return self.relu(h + r)
+
+
+def _basic_stage(in_planes, planes, blocks, stride):
+    downsample = None
+    if stride != 1 or in_planes != planes:
+        downsample = nn.Sequential(
+            nn.Conv3d(in_planes, planes, 1, stride=stride, bias=False),
+            nn.BatchNorm3d(planes),
+        )
+    layers = [TorchBasicBlock(in_planes, planes, stride, downsample)]
+    layers += [TorchBasicBlock(planes, planes) for _ in range(1, blocks)]
+    return nn.Sequential(*layers)
+
+
+class TorchR3D10(nn.Module):
+    """Depth-10 BasicBlock R3D (reference generate_model(10))."""
+
+    def __init__(self, n_classes=1139):
+        super().__init__()
+        self.conv1 = nn.Conv3d(3, 64, (7, 7, 7), stride=(1, 2, 2), padding=(3, 3, 3), bias=False)
+        self.bn1 = nn.BatchNorm3d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool3d(3, stride=2, padding=1)
+        self.layer1 = _basic_stage(64, 64, 1, 1)
+        self.layer2 = _basic_stage(64, 128, 1, 2)
+        self.layer3 = _basic_stage(128, 256, 1, 2)
+        self.layer4 = _basic_stage(256, 512, 1, 2)
+        self.avgpool = nn.AdaptiveAvgPool3d((1, 1, 1))
+        self.fc = nn.Linear(512, n_classes)
+
+    def forward(self, x):
+        h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        h = self.layer4(self.layer3(self.layer2(self.layer1(h))))
+        return self.fc(self.avgpool(h).flatten(1))
