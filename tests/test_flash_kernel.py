@@ -1,0 +1,109 @@
+"""Pallas fused-attention kernel vs the XLA reference (interpret mode on CPU).
+
+Covers the model's three attention shapes (spatial boxes, temporal causal,
+cross-attention), masked inputs including all-padded-key rows, bf16 inputs,
+and gradient flow through the custom_vjp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stlt_tpu.ops import masks
+from stlt_tpu.ops.attention import dot_product_attention_reference
+from stlt_tpu.ops.flash import flash_attention
+
+
+def _rand_qkv(rng, B, T, S, N, D, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(0, 1, (B, T, N, D)), dtype)
+    k = jnp.asarray(rng.normal(0, 1, (B, S, N, D)), dtype)
+    v = jnp.asarray(rng.normal(0, 1, (B, S, N, D)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "B,T,S,N,D",
+    [
+        (6, 8, 8, 4, 16),     # spatial boxes shape
+        (4, 17, 17, 4, 32),   # temporal frames shape
+        (2, 17, 33, 4, 16),   # cross-attention layout←appearance
+    ],
+)
+def test_kernel_matches_reference(B, T, S, N, D):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, B, T, S, N, D)
+    got = flash_attention(q, k, v)
+    want = dot_product_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_with_causal_and_padding_bias():
+    rng = np.random.default_rng(1)
+    B, T, N, D = 3, 9, 4, 16
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    pad = np.zeros((B, T), bool)
+    pad[:, -3:] = True  # last frames padded
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+    got = flash_attention(q, k, v, bias)
+    want = dot_product_attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_fully_masked_row_is_finite():
+    """A fully-masked key row must degrade to uniform attention, not NaN."""
+    rng = np.random.default_rng(2)
+    B, T, N, D = 2, 4, 2, 8
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    pad = np.ones((B, T), bool)  # everything masked
+    bias = masks.key_padding_bias(jnp.asarray(pad))
+    got = np.asarray(flash_attention(q, k, v, bias))
+    assert np.isfinite(got).all()
+
+
+def test_kernel_bf16():
+    rng = np.random.default_rng(3)
+    B, T, N, D = 2, 8, 4, 16
+    q, k, v = _rand_qkv(rng, B, T, T, N, D, dtype=jnp.bfloat16)
+    got = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    want = np.asarray(dot_product_attention_reference(q, k, v)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_gradients_flow_and_match_reference():
+    rng = np.random.default_rng(4)
+    B, T, N, D = 2, 6, 2, 8
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    bias = masks.causal_bias(T)
+
+    def loss_kernel(q, k, v):
+        return flash_attention(q, k, v, bias).sum()
+
+    def loss_ref(q, k, v):
+        return dot_product_attention_reference(q, k, v, bias).sum()
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_model_with_pallas_flag_matches():
+    """End-to-end: STLT logits with use_pallas=True equal the XLA path."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from __graft_entry__ import _synthetic_layout_batch
+
+    batch = _synthetic_layout_batch(4, 6, 4, 4, seed=9)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    outs = {}
+    for use_pallas in (False, True):
+        cfg = StltModelConfig(
+            num_classes=7, unique_categories=4, hidden_size=32,
+            num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+            use_pallas=use_pallas,
+        )
+        model = models_factory["stlt"](cfg)
+        params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+        outs[use_pallas] = np.asarray(model.apply({"params": params}, inputs)["stlt"])
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=1e-5)

@@ -1,0 +1,144 @@
+"""Offline data-prep tools (tools/ = reference L0 CLIs, SURVEY.md §2.5)."""
+
+import io
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tool(name, *args):
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", name), *args],
+        capture_output=True, text=True, env=env, check=True,
+    )
+
+
+def test_create_something_datasets(tmp_path):
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    # two annotation chunks in Something-Else format
+    chunk1 = {
+        "v1": [
+            {"labels": [
+                {"category": "hand left", "box2d": {"x1": 1, "y1": 2, "x2": 30, "y2": 40}},
+                {"category": "cup", "box2d": {"x1": 5, "y1": 6, "x2": 50, "y2": 60}},
+            ]},
+            {"labels": []},
+        ]
+    }
+    chunk2 = {"v2": [{"labels": [
+        {"category": "bowl", "box2d": {"x1": 0, "y1": 0, "x2": 9, "y2": 9}},
+    ]}]}
+    json.dump(chunk1, open(ann_dir / "anns_1.json", "w"))
+    json.dump(chunk2, open(ann_dir / "anns_10.json", "w"))
+    train = [{"id": "v1", "template": "Doing [something]"}]
+    val = [{"id": "v2", "template": "Other"}, {"id": "missing", "template": "X"}]
+    json.dump(train, open(tmp_path / "train.json", "w"))
+    json.dump(val, open(tmp_path / "val.json", "w"))
+
+    run_tool(
+        "create_something_datasets.py",
+        "--train_data_path", str(tmp_path / "train.json"),
+        "--val_data_path", str(tmp_path / "val.json"),
+        "--annotations_path", str(ann_dir),
+        "--save_data_path", str(tmp_path),
+    )
+    out_train = json.load(open(tmp_path / "train_dataset.json"))
+    out_val = json.load(open(tmp_path / "val_dataset.json"))
+    assert len(out_train) == 1 and len(out_val) == 1  # missing id dropped
+    objs = out_train[0]["frames"][0]["frame_objects"]
+    assert objs[0]["category"] == "hand" and objs[1]["category"] == "object"
+    assert all(o["score"] == 1.0 for o in objs)
+    assert out_train[0]["frames"][1]["frame_objects"] == []
+
+
+def test_create_action_genome_datasets(tmp_path):
+    ag = tmp_path / "ag"
+    ag.mkdir()
+    object_anno = {
+        "ABC123.mp4/000001.png": [
+            {"visible": True, "class": "chair", "bbox": (10, 20, 30, 40)},
+            {"visible": False, "class": "book", "bbox": (1, 2, 3, 4)},
+        ],
+        "ABC123.mp4/000002.png": [
+            {"visible": False, "class": "book", "bbox": (1, 2, 3, 4)},
+        ],
+    }
+    person_anno = {
+        "ABC123.mp4/000001.png": {
+            "bbox": np.array([[5.0, 6.0, 50.0, 60.0]]),
+            "bbox_score": np.array([0.9]),
+        },
+        "ABC123.mp4/000002.png": {"bbox": np.zeros((0, 4)), "bbox_score": np.zeros(0)},
+    }
+    pickle.dump(object_anno, open(ag / "object_bbox_and_relationship.pkl", "wb"))
+    pickle.dump(person_anno, open(ag / "person_bbox.pkl", "wb"))
+    charades = tmp_path / "charades"
+    charades.mkdir()
+    with open(charades / "Charades_v1_train.csv", "w") as f:
+        f.write("id,actions\nABC123,c092 11.9 21.2;c147 0.0 12.6\n")
+    with open(charades / "Charades_v1_test.csv", "w") as f:
+        f.write("id,actions\nZZZ999,c001 0 1\n")
+
+    run_tool(
+        "create_action_genome_datasets.py",
+        "--action_genome_path", str(ag),
+        "--charades_path", str(charades),
+        "--save_datasets_path", str(tmp_path),
+    )
+    full = json.load(open(tmp_path / "full_dataset.json"))
+    train = json.load(open(tmp_path / "train_dataset.json"))
+    val = json.load(open(tmp_path / "val_dataset.json"))
+    assert len(full) == 1 and len(train) == 1 and len(val) == 0
+    entry = train[0]
+    assert entry["actions"] == ["c092", "c147"]
+    # frame 2 had no visible objects nor person → dropped
+    assert len(entry["frames"]) == 1
+    objs = entry["frames"][0]["frame_objects"]
+    assert [o["category"] for o in objs] == ["chair", "person"]
+    # xywh → xyxy
+    assert (objs[0]["x2"], objs[0]["y2"]) == (40, 60)
+    assert objs[1]["score"] == pytest.approx(0.9)
+
+
+def test_frames2hdf5_roundtrip(tmp_path):
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames" / "vidA"
+    frames_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    imgs = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"{i}.jpg")
+        imgs.append(arr)
+    json.dump({"vidA": [32, 24]}, open(tmp_path / "sizes.json", "w"))
+    h5_path = tmp_path / "videos.h5"
+    run_tool(
+        "frames2hdf5.py",
+        "--videoid2size_path", str(tmp_path / "sizes.json"),
+        "--pil_images_path", str(tmp_path / "frames"),
+        "--save_hdf5_path", str(h5_path),
+    )
+    # idempotent second run
+    run_tool(
+        "frames2hdf5.py",
+        "--videoid2size_path", str(tmp_path / "sizes.json"),
+        "--pil_images_path", str(tmp_path / "frames"),
+        "--save_hdf5_path", str(h5_path),
+    )
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        assert set(f.keys()) == {"vidA"}
+        assert set(f["vidA"].keys()) == {"0", "1", "2"}
+        decoded = Image.open(io.BytesIO(np.asarray(f["vidA"]["1"]).tobytes()))
+        assert decoded.size == (32, 24)
