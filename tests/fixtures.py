@@ -95,7 +95,9 @@ def make_video_hdf5(tmpdir, videoid2size, num_frames=12, seed=0, filename="video
 def make_action_genome_fixture(tmpdir, num_videos=4, seed=1):
     """Action-Genome-style: multi-label actions, object categories, scores kept."""
     rng = np.random.default_rng(seed)
-    num_actions = 10
+    # every class gets at least one positive (Charades mAP is NaN otherwise —
+    # the reference's behavior too, evaluation.py:109-110)
+    num_actions = 2 * num_videos
     labels = {f"c{i:03d}": str(i) for i in range(num_actions)}
     categories = ["person", "chair", "book", "table", "floor"]
     videos, videoid2size = [], {}
@@ -119,10 +121,7 @@ def make_action_genome_fixture(tmpdir, num_videos=4, seed=1):
                     }
                 )
             frames.append({"frame_objects": objs})
-        actions = [
-            f"c{int(a):03d}"
-            for a in rng.choice(num_actions, size=int(rng.integers(1, 4)), replace=False)
-        ]
+        actions = [f"c{2 * v:03d}", f"c{2 * v + 1:03d}"]
         videos.append({"id": vid, "actions": actions, "frames": frames})
     paths = {
         "dataset_path": os.path.join(tmpdir, "ag_dataset.json"),
