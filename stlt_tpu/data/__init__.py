@@ -3,8 +3,23 @@
 from __future__ import annotations
 
 import functools
+import os
 
 from stlt_tpu.data.layout import LayoutDataset, collate_layout
+
+
+def _layout_dataset(config, json_file=None):
+    """Prefer the native C++ tokenizer (bit-identical, ~4x faster host path);
+    set STLT_NATIVE=0 to force the pure-Python dataset."""
+    if json_file is None and os.environ.get("STLT_NATIVE", "auto") != "0":
+        try:
+            from stlt_tpu.data.native import NativeLayoutDataset, native_available
+
+            if native_available():
+                return NativeLayoutDataset(config)
+        except Exception:
+            pass
+    return LayoutDataset(config, json_file)
 
 
 def _layout_collate(config):
@@ -36,7 +51,7 @@ def _multimodal_collate(config):
 
 
 datasets_factory = {
-    "layout": LayoutDataset,
+    "layout": _layout_dataset,
     "appearance": _appearance_dataset,
     "multimodal": _multimodal_dataset,
 }
