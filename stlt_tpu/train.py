@@ -172,13 +172,24 @@ def train(args):
         len(val_dataset), num_classes, model.logit_names
     )
     logging.info("Starting training...")
+    # Optional profiler trace of a few warm steps (SURVEY.md §5 tracing —
+    # the reference has only tqdm progress bars).
+    profile_window = (10, 15) if args.profile_dir else None
+    global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
         running_loss, seen = 0.0, 0
         for batch in train_loader:
+            if profile_window and global_step == profile_window[0]:
+                jax.profiler.start_trace(args.profile_dir)
             state, loss = steps.train_step(state, batch, dropout_key)
             running_loss += float(loss)
             seen += 1
+            global_step += 1
+            if profile_window and global_step == profile_window[1]:
+                jax.profiler.stop_trace()
+                profile_window = None
+                logging.info("Wrote profiler trace to %s", args.profile_dir)
         logging.info(
             "Epoch %d: train loss %.4f (%d steps, %.1fs)",
             epoch + 1, running_loss / max(seen, 1), seen, time.time() - epoch_start,
