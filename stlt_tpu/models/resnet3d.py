@@ -21,7 +21,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

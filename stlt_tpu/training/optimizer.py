@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax
 import optax
 from flax import traverse_util
 
@@ -50,13 +49,35 @@ def frozen_backbone_mask(params: Any, frozen: bool) -> Any:
     return traverse_util.unflatten_dict(mask)
 
 
+def frozen_stats_mask(params: Any) -> Any:
+    """True where the param is trainable; False for every param of a
+    FrozenBatchNorm module (scale/bias/mean/var — identified by having
+    'mean' + 'var' siblings). Reference semantics: BN affine params have
+    requires_grad=False and BN stays in eval mode, so neither the affine
+    params nor the running stats ever update (models.py:206-219)."""
+    flat = traverse_util.flatten_dict(params)
+    bn_modules = {
+        path[:-1]
+        for path in flat
+        if path[-1] == "mean" and path[:-1] + ("var",) in flat
+    }
+    mask = {path: path[:-1] not in bn_modules for path in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def _and_masks(a: Any, b: Any) -> Any:
+    import jax
+
+    return jax.tree_util.tree_map(lambda x, y: x and y, a, b)
+
+
 def linear_warmup_decay(
     learning_rate: float, num_warmup_steps: int, num_training_steps: int
 ):
     """HF get_linear_schedule_with_warmup as an optax schedule."""
 
     def schedule(step):
-        import jax.numpy as jnp
+        import jax.numpy as jnp  # local: keep module importable without jax init
 
         step = jnp.asarray(step, jnp.float32)
         warmup = step / jnp.maximum(1.0, num_warmup_steps)
@@ -91,9 +112,20 @@ def make_optimizer(
             mask=weight_decay_mask(params),
         ),
     )
+    # Frozen params receive zero updates entirely (the torch analogue:
+    # requires_grad=False params are invisible to the optimizer AND to
+    # clip_grad_norm_, since their grads are None). BatchNorm scale/bias/
+    # mean/var are ALWAYS frozen (reference models.py:206-219).
+    # NOTE: optax.masked passes masked-out leaves through unchanged, so use
+    # multi_transform with set_to_zero for the frozen partition.
+    trainable = frozen_stats_mask(params)
     if freeze_backbone:
-        # Frozen params receive zero updates entirely (the torch analogue:
-        # requires_grad=False params are invisible to the optimizer AND to
-        # clip_grad_norm_, since their grads are None).
-        tx = optax.masked(tx, frozen_backbone_mask(params, True))
-    return tx
+        trainable = _and_masks(trainable, frozen_backbone_mask(params, True))
+    import jax
+
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", trainable
+    )
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
