@@ -123,6 +123,10 @@ class DataConfig:
     score_threshold: float = 0.5
     appearance_num_frames: int = 32
     spatial_size: int = 112
+    # TPU extension: round the static frame axis up to a multiple (so the
+    # sequence-parallel `context` mesh axis divides it). Pad frames are
+    # mask-carrying and semantically inert.
+    frames_multiple: int = 1
 
     def __post_init__(self):
         if self.dataset_name not in DATASET_NAMES:
@@ -145,7 +149,9 @@ class DataConfig:
         length instead so every batch has the same XLA-compiled shape. Masks
         make the two semantically identical.
         """
-        return self.layout_num_frames + 1
+        base = self.layout_num_frames + 1
+        m = max(self.frames_multiple, 1)
+        return ((base + m - 1) // m) * m
 
     @property
     def num_total_boxes(self) -> int:

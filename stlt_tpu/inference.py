@@ -83,8 +83,10 @@ def inference(args):
         logging.warning("%s", e)
         params = ckpt.load_params(args.checkpoint_path, params, strict=False)
 
-    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size)
-    steps = compile_steps(mesh, model, params_template=params)
+    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
+                     context_parallel=args.context_parallel)
+    steps = compile_steps(mesh, model, params_template=params,
+                          batch_template=template_batch)
     params = jax.device_put(params, steps.params_sharding)
 
     evaluator = evaluators_factory[args.dataset_name](

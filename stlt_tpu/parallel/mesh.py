@@ -21,14 +21,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+CONTEXT_AXIS = "context"  # sequence parallelism over the frame axis
 
 
 def make_mesh(
     model_parallel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     batch_size: Optional[int] = None,
+    context_parallel: int = 1,
 ) -> Mesh:
-    """Mesh of shape (n_devices // model_parallel, model_parallel).
+    """Mesh of shape (data, model, context) with
+    data = n_devices // (model_parallel · context_parallel).
 
     If ``batch_size`` is given and doesn't divide the data axis, the data
     axis shrinks to the largest divisor of both (dropping surplus devices),
@@ -37,17 +40,21 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if n % model_parallel != 0:
+    per_replica = model_parallel * context_parallel
+    if n % per_replica != 0:
         raise ValueError(
-            f"model_parallel={model_parallel} does not divide {n} devices"
+            f"model_parallel={model_parallel} x context_parallel="
+            f"{context_parallel} does not divide {n} devices"
         )
-    data = n // model_parallel
+    data = n // per_replica
     if batch_size is not None:
         import math
 
         data = math.gcd(data, batch_size)
-    grid = np.asarray(devices[: data * model_parallel]).reshape(data, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    grid = np.asarray(devices[: data * per_replica]).reshape(
+        data, model_parallel, context_parallel
+    )
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -87,6 +87,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "backend init; overrides JAX_PLATFORMS.")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Tensor-parallel axis size (must divide device count).")
+    p.add_argument("--context_parallel", type=int, default=1,
+                   help="Sequence-parallel axis size over the layout frame dim.")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"), help="Matmul/activation dtype.")
     p.add_argument("--use_pallas", action="store_true",

@@ -61,6 +61,7 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         appearance_num_frames=args.appearance_num_frames,
         score_threshold=args.score_threshold,
         spatial_size=args.spatial_size,
+        frames_multiple=getattr(args, "context_parallel", 1),
     )
 
 
@@ -154,8 +155,10 @@ def train(args):
     )
     state = create_train_state(params, tx)
 
-    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size)
-    steps = compile_steps(mesh, model, tx, criterion, state=state)
+    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
+                     context_parallel=args.context_parallel)
+    steps = compile_steps(mesh, model, tx, criterion, state=state,
+                          batch_template=template_batch)
     state = jax.device_put(state, steps.state_sharding)
     dropout_key = jax.random.PRNGKey(args.seed + 1)
 

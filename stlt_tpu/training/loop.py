@@ -20,8 +20,25 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stlt_tpu.parallel.mesh import DATA_AXIS
+from stlt_tpu.parallel.mesh import CONTEXT_AXIS, DATA_AXIS
 from stlt_tpu.parallel.sharding import params_shardings, tree_shardings_like
+
+# Batch entries whose dim 1 is the layout frame axis — shardable over the
+# `context` mesh axis (sequence parallelism). The spatial encoder then runs
+# fully frame-sharded (frames fold into the batch), and XLA inserts the
+# all-gathers the temporal attention needs.
+FRAME_AXIS_KEYS = ("categories", "boxes", "scores", "frame_types")
+
+
+def batch_shardings(mesh: Mesh, batch_template: Dict[str, Any]) -> Dict[str, NamedSharding]:
+    context = mesh.shape.get(CONTEXT_AXIS, 1) > 1
+    out = {}
+    for key in batch_template:
+        if context and key in FRAME_AXIS_KEYS:
+            out[key] = NamedSharding(mesh, P(DATA_AXIS, CONTEXT_AXIS))
+        else:
+            out[key] = NamedSharding(mesh, P(DATA_AXIS))
+    return out
 
 
 class TrainState(struct.PyTreeNode):
@@ -98,6 +115,7 @@ def compile_steps(
     criterion: Optional[Callable] = None,
     state: Optional[TrainState] = None,
     params_template: Any = None,
+    batch_template: Optional[Dict[str, Any]] = None,
 ) -> CompiledSteps:
     """Wrap train/eval steps in jit with explicit mesh shardings.
 
@@ -105,8 +123,13 @@ def compile_steps(
     ``params_template`` for inference-only. The returned
     ``state_sharding``/``params_sharding`` trees are what the caller should
     ``device_put`` its state/params with before the first step.
+    ``batch_template`` (any batch dict) enables per-key shardings — required
+    when the mesh has a context (sequence-parallel) axis.
     """
-    batch_shard = NamedSharding(mesh, P(DATA_AXIS))
+    if batch_template is not None:
+        batch_shard = batch_shardings(mesh, batch_template)
+    else:
+        batch_shard = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
 
     p_template = state.params if state is not None else params_template

@@ -21,9 +21,9 @@ from stlt_tpu.training.optimizer import make_optimizer
 
 def test_mesh_shapes():
     mesh = make_mesh(2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "context": 1}
     mesh = make_mesh(1, batch_size=4)
-    assert mesh.shape == {"data": 4, "model": 1}
+    assert mesh.shape == {"data": 4, "model": 1, "context": 1}
 
 
 def test_param_specs():
@@ -91,3 +91,34 @@ def test_tp_invariant_train_loss(tiny_setup):
         losses[mp] = float(loss)
     assert np.isfinite(losses[1])
     np.testing.assert_allclose(losses[1], losses[2], atol=1e-4, rtol=1e-4)
+
+
+def test_context_parallel_eval_matches():
+    """Sequence parallelism (frame axis over the context mesh axis) must be
+    numerically invisible."""
+    from stlt_tpu.training.loop import batch_shardings
+
+    config = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        hidden_dropout_prob=0.0,
+    )
+    model = models_factory["stlt"](config)
+    # frame axis 8 divides context=2
+    batch = _synthetic_layout_batch(4, 8, 4, 4, seed=6)
+    batch["labels"] = batch["labels"] % 7
+    batch["valid"] = np.ones(4, bool)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    ref = np.asarray(model.apply({"params": params}, inputs)["stlt"])
+
+    mesh = make_mesh(model_parallel=2, context_parallel=2)  # data=2,model=2,ctx=2
+    assert mesh.shape == {"data": 2, "model": 2, "context": 2}
+    steps = compile_steps(mesh, model, params_template=params, batch_template=batch)
+    sharded = jax.device_put(params, steps.params_sharding)
+    got = np.asarray(steps.eval_step(sharded, batch)["stlt"])
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # the frame-axis inputs really are context-sharded
+    shardings = batch_shardings(mesh, batch)
+    assert shardings["categories"].spec == P("data", "context")
+    assert shardings["labels"].spec == P("data")
