@@ -142,3 +142,35 @@ def test_frames2hdf5_roundtrip(tmp_path):
         assert set(f["vidA"].keys()) == {"0", "1", "2"}
         decoded = Image.open(io.BytesIO(np.asarray(f["vidA"]["1"]).tobytes()))
         assert decoded.size == (32, 24)
+
+
+def test_dump_features(tmp_path):
+    import h5py
+
+    from tests.fixtures import make_something_fixture, make_video_hdf5
+
+    paths, videos, labels, sizes = make_something_fixture(str(tmp_path), num_videos=3)
+    videos_path = make_video_hdf5(str(tmp_path), sizes, num_frames=8)
+    out_path = str(tmp_path / "features.h5")
+    args = [
+        "--dataset_path", paths["dataset_path"],
+        "--labels_path", paths["labels_path"],
+        "--videoid2size_path", paths["videoid2size_path"],
+        "--videos_path", videos_path,
+        "--save_features_path", out_path,
+        "--appearance_num_frames", "4",
+        "--spatial_size", "32",
+        "--resnet_depth", "10",
+        "--batch_size", "2",
+        "--platform", "cpu",
+    ]
+    run_tool("dump_features.py", *args)
+    run_tool("dump_features.py", *args)  # idempotent resume
+    with h5py.File(out_path, "r") as f:
+        assert set(f.keys()) == {v["id"] for v in videos}
+        for vid in f:
+            feats = np.asarray(f[vid]["features"])
+            pooled = np.asarray(f[vid]["pooled"])
+            assert feats.ndim == 2 and feats.shape[1] == 512  # depth-10 C_out
+            np.testing.assert_allclose(pooled, feats.mean(axis=0), atol=1e-5)
+            assert np.isfinite(feats).all()
