@@ -43,7 +43,7 @@ class FusionHead(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         h = torch_dense(cfg.hidden_size, cfg.hidden_size * 2, dtype, "fc1")(hidden_state)
-        h = activation_fn("gelu")(h)
+        h = activation_fn("gelu", dtype)(h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm")(h)
         return torch_dense(cfg.num_classes, cfg.hidden_size, dtype, "fc2")(h)
 
@@ -58,7 +58,7 @@ class FeedforwardModule(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         h = torch_dense(cfg.hidden_size * 4, cfg.hidden_size, dtype, "linear1")(x)
-        h = activation_fn("gelu")(h)
+        h = activation_fn("gelu", dtype)(h)
         h = torch_dense(cfg.hidden_size, cfg.hidden_size * 4, dtype, "linear2")(h)
         h = nn.Dropout(rate=cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln")(h + x)

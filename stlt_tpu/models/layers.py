@@ -133,10 +133,14 @@ class MultiHeadAttention(nn.Module):
         )(out)
 
 
-def activation_fn(name: str) -> Callable:
+def activation_fn(name: str, dtype=jnp.float32) -> Callable:
     if name == "gelu":
-        # torch F.gelu default: exact erf formulation.
-        return lambda x: jax.nn.gelu(x, approximate=False)
+        # torch F.gelu default is the exact erf formulation — used verbatim in
+        # f32 (checkpoint parity). In bf16 compute the tanh approximation is
+        # within bf16 rounding noise and ~2.6x cheaper on the VPU (the erf
+        # chain in f32 was costing as much as the FFN GEMMs themselves).
+        approximate = jnp.dtype(dtype) == jnp.bfloat16
+        return lambda x: jax.nn.gelu(x, approximate=approximate)
     if name == "relu":
         return jax.nn.relu
     raise ValueError(f"unknown activation {name}")
@@ -177,7 +181,7 @@ class TransformerEncoderLayer(nn.Module):
             x + attn_out
         )
         h = torch_dense(self.ff_size, self.hidden_size, self.dtype, "linear1")(x)
-        h = activation_fn(self.activation)(h)
+        h = activation_fn(self.activation, self.dtype)(h)
         h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
         h = torch_dense(self.hidden_size, self.ff_size, self.dtype, "linear2")(h)
         h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)

@@ -180,7 +180,7 @@ class ClassificationHead(nn.Module):
         h = torch_dense(self.hidden_size, self.hidden_size, self.dtype, "fc1")(
             hidden_state
         )
-        h = activation_fn("gelu")(h)
+        h = activation_fn("gelu", self.dtype)(h)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
         return torch_dense(self.num_classes, self.hidden_size, self.dtype, "fc2")(h)
 

@@ -107,3 +107,29 @@ def test_model_with_pallas_flag_matches():
         params = model.init(jax.random.PRNGKey(0), inputs)["params"]
         outs[use_pallas] = np.asarray(model.apply({"params": params}, inputs)["stlt"])
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=1e-5)
+
+
+def test_bf16_pallas_predictions_match_f32():
+    """The serving config (bf16 + pallas + tanh-GELU) must produce logits
+    close to the f32 exact path — argmax agreement on a realistic-width
+    model is what eval parity rests on."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from __graft_entry__ import _synthetic_layout_batch
+
+    batch = _synthetic_layout_batch(8, 9, 6, 4, seed=13)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    outs = {}
+    for dtype, pallas in (("float32", False), ("bfloat16", True)):
+        cfg = StltModelConfig(
+            num_classes=32, unique_categories=4, hidden_size=64,
+            num_attention_heads=4, num_spatial_layers=2, num_temporal_layers=2,
+            compute_dtype=dtype, use_pallas=pallas,
+        )
+        model = models_factory["stlt"](cfg)
+        params = model.init(jax.random.PRNGKey(3), inputs)["params"]
+        outs[dtype] = np.asarray(model.apply({"params": params}, inputs)["stlt"])
+    np.testing.assert_array_equal(
+        outs["float32"].argmax(-1), outs["bfloat16"].argmax(-1)
+    )
+    np.testing.assert_allclose(outs["float32"], outs["bfloat16"], atol=0.15, rtol=0.1)
