@@ -133,3 +133,25 @@ def test_inference_loads_torch_checkpoint(trained, tmp_path):
     args.checkpoint_path = pt_path
     metrics = inference(args)
     assert 0.0 <= metrics["stlt_top1_accuracy"] <= 1.0
+
+
+def test_predict_cli(trained, tmp_path):
+    """Serving surface: per-clip top-k predictions as JSON lines."""
+    import json
+
+    from stlt_tpu.predict import predict
+
+    tmpdir, paths, args, _ = trained
+    args.top_k = 2
+    args.output = str(tmp_path / "preds.jsonl")
+    rows = predict(args)
+    assert len(rows) == 8  # all clips, no padding rows
+    lines = [json.loads(l) for l in open(args.output)]
+    assert len(lines) == len(rows)
+    for row in lines:
+        assert len(row["top_k"]) == 2
+        assert 0.0 <= row["top_k"][0]["score"] <= 1.0
+        assert row["top_k"][0]["score"] >= row["top_k"][1]["score"]
+    # every dataset clip appears exactly once, in order
+    ids = [r["video_id"] for r in lines]
+    assert len(set(ids)) == len(ids)
