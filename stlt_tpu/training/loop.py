@@ -103,10 +103,6 @@ class CompiledSteps:
     train_step: Optional[Callable]
     eval_step: Callable
 
-    def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-
 
 def compile_steps(
     mesh: Mesh,
