@@ -174,6 +174,7 @@ class GeneralModelConfig:
     # --- TPU-native extensions (no reference counterpart) ---
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False  # fused attention kernels on TPU
+    remat: bool = False  # per-encoder-layer activation checkpointing
 
     def __post_init__(self):
         assert self.num_classes, "num_classes must not be None!"
@@ -237,6 +238,7 @@ class MultimodalModelConfig(GeneralModelConfig):
             num_attention_heads=self.num_attention_heads,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             unique_categories=self.unique_categories,
             num_spatial_layers=self.num_spatial_layers,
             num_temporal_layers=self.num_temporal_layers,
@@ -253,6 +255,7 @@ class MultimodalModelConfig(GeneralModelConfig):
             num_attention_heads=self.num_attention_heads,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             appearance_num_frames=self.appearance_num_frames,
             resnet_model_path=self.resnet_model_path,
             num_appearance_layers=self.num_appearance_layers,

@@ -106,6 +106,7 @@ class TransformerResnet(nn.Module):
             layer_norm_eps=TORCH_ENCODER_LN_EPS,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
+            remat=cfg.remat,
         )
         self.classifier = torch_dense(cfg.num_classes, cfg.hidden_size, dtype)
 

@@ -98,6 +98,7 @@ class SpatialTransformer(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas=cfg.use_pallas,
+            remat=cfg.remat,
             name="transformer",
         )(tokens, pad_bias, deterministic=deterministic)
         # Keep the frame-CLS token (slot 0) per frame: [B, F, H].
@@ -163,6 +164,7 @@ class StltBackbone(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas=cfg.use_pallas,
+            remat=cfg.remat,
             name="transformer",
         )(embeddings, bias, deterministic=deterministic)  # [B, F, H]
 

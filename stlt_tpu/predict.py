@@ -58,6 +58,7 @@ def predict(args):
         resnet_depth=args.resnet_depth,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        remat=args.remat,
     )
     model = models_factory[args.model_name](model_config)
     template_batch = next(iter(loader))

@@ -117,6 +117,7 @@ def train(args):
         resnet_depth=args.resnet_depth,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        remat=args.remat,
     )
     logging.info("==================================")
     logging.info("The model's configuration is:\n%s", model_config)

@@ -133,3 +133,31 @@ def test_bf16_pallas_predictions_match_f32():
         outs["float32"].argmax(-1), outs["bfloat16"].argmax(-1)
     )
     np.testing.assert_allclose(outs["float32"], outs["bfloat16"], atol=0.15, rtol=0.1)
+
+
+def test_remat_outputs_and_grads_match():
+    """Activation rematerialization must be numerically invisible."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from __graft_entry__ import _synthetic_layout_batch
+
+    batch = _synthetic_layout_batch(4, 6, 4, 4, seed=1)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    outs, grads = {}, {}
+    for remat in (False, True):
+        cfg = StltModelConfig(
+            num_classes=7, unique_categories=4, hidden_size=32,
+            num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+            remat=remat, hidden_dropout_prob=0.0,
+        )
+        model = models_factory["stlt"](cfg)
+        params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+        outs[remat] = np.asarray(model.apply({"params": params}, inputs)["stlt"])
+        grads[remat] = jax.grad(
+            lambda p: model.apply({"params": p}, inputs)["stlt"].sum()
+        )(params)
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        grads[True], grads[False],
+    )
