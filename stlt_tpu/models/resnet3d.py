@@ -57,6 +57,68 @@ class FrozenBatchNorm(nn.Module):
         return x * inv.astype(self.dtype) + (bias - mean * inv).astype(self.dtype)
 
 
+class StemConv(nn.Module):
+    """R3D stem convolution with a space-to-depth fast path.
+
+    The naive stem (kernel (t,7,7), spatial stride 2, C_in=3) runs at ~11
+    TFLOP/s on v5e — the 3 input channels pad to a 128-wide MXU tile, and it
+    alone was 82% of the whole R3D-50 forward. The mathematically EXACT
+    space-to-depth regrouping (2×2 spatial blocks → 12 input channels,
+    kernel (t,7,7)→(t,4,4) with a zero left tap, stride 1, padding (2,1))
+    quadruples the contraction width. The stored parameter keeps the
+    standard ``[t, 7, 7, 3, 64]`` layout, so checkpoints/converter/init are
+    untouched; the kernel regroup happens on the fly (tiny, folded by XLA).
+    Falls back to the plain convolution for odd spatial sizes.
+    """
+
+    conv1_t_size: int = 7
+    conv1_t_stride: int = 1
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        t = self.conv1_t_size
+        in_c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (t, 7, 7, in_c, self.features),
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        t_pad = (t // 2, t // 2)
+        B, T, H, W, _ = x.shape
+        if H % 2 == 0 and W % 2 == 0:
+            # space-to-depth: [B,T,H,W,C] → [B,T,H/2,W/2,4C] (p,q,c order)
+            x2 = x.reshape(B, T, H // 2, 2, W // 2, 2, in_c)
+            x2 = x2.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                B, T, H // 2, W // 2, 4 * in_c
+            )
+            # kernel: left-pad the 7 spatial taps to 8 = 4 stride-2 pairs
+            wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+            w2 = wp.reshape(t, 4, 2, 4, 2, in_c, self.features)
+            w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                t, 4, 4, 4 * in_c, self.features
+            )
+            return jax.lax.conv_general_dilated(
+                x2, w2,
+                window_strides=(self.conv1_t_stride, 1, 1),
+                padding=(t_pad, (2, 1), (2, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(self.conv1_t_stride, 2, 2),
+            padding=(t_pad, (3, 3), (3, 3)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+
 def _conv(features: int, kernel: Tuple[int, int, int], strides, name: str, dtype):
     pad = tuple((k // 2, k // 2) for k in kernel)
     return nn.Conv(
@@ -141,17 +203,12 @@ class ResNet3D(nn.Module):
             Bottleneck if self.model_depth in R3D_BOTTLENECK_DEPTHS else BasicBlock
         )
         expansion = 4 if block_cls is Bottleneck else 1
-        t = self.conv1_t_size
-        h = nn.Conv(
-            features=64,
-            kernel_size=(t, 7, 7),
-            strides=(self.conv1_t_stride, 2, 2),
-            padding=((t // 2, t // 2), (3, 3), (3, 3)),
-            use_bias=False,
+        h = StemConv(
+            conv1_t_size=self.conv1_t_size,
+            conv1_t_stride=self.conv1_t_stride,
             dtype=self.dtype,
-            kernel_init=initializers.variance_scaling(2.0, "fan_out", "normal"),
             name="conv1",
-        )(x.astype(self.dtype))
+        )(x)
         h = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         if not self.no_max_pool:
