@@ -100,3 +100,33 @@ def test_transformer_resnet_parity():
     params = torch_to_flax_params(sd, params)
     jlogits = np.asarray(model.apply({"params": params}, batch)["resnet3d"])
     np.testing.assert_allclose(jlogits, tlogits, atol=5e-4, rtol=1e-4)
+
+
+def test_stem_conv_s2d_equivalence():
+    """Space-to-depth stem must match the plain convolution exactly, and
+    fall back for odd spatial sizes."""
+    import jax.numpy as jnp
+
+    from stlt_tpu.models.resnet3d import StemConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 5, 32, 32, 3)), jnp.float32)
+    stem = StemConv(conv1_t_size=7, conv1_t_stride=1, dtype=jnp.float32)
+    params = stem.init(jax.random.PRNGKey(0), x)["params"]
+    assert params["kernel"].shape == (7, 7, 7, 3, 64)  # layout unchanged
+    got = stem.apply({"params": params}, x)
+    ref = jax.lax.conv_general_dilated(
+        x, params["kernel"], window_strides=(1, 2, 2),
+        padding=((3, 3), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    x_odd = jnp.asarray(rng.normal(0, 1, (1, 5, 31, 31, 3)), jnp.float32)
+    ref_odd = jax.lax.conv_general_dilated(
+        x_odd, params["kernel"], window_strides=(1, 2, 2),
+        padding=((3, 3), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got_odd = stem.apply({"params": params}, x_odd)
+    np.testing.assert_allclose(np.asarray(got_odd), np.asarray(ref_odd), atol=2e-6)
