@@ -60,6 +60,14 @@ class AppearanceDataset:
             )
         return self._videos
 
+    def _load_frame(self, group, index) -> Image.Image:
+        img = Image.open(io.BytesIO(np.asarray(group[str(index)])))
+        if self.config.fast_decode:
+            # JPEG DCT-scaled decode: libjpeg produces a >= target-size image
+            # directly (1/2, 1/4, 1/8 scale), then the normal resize finishes.
+            img.draft("RGB", (self._resize_to, self._resize_to))
+        return resize_shorter_side(img.convert("RGB"), self._resize_to)
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
         cfg = self.config
         if rng is None:
@@ -71,10 +79,7 @@ class AppearanceDataset:
             cfg.appearance_num_frames, num_frames, cfg.train, rng=rng
         )
         frames = [
-            resize_shorter_side(
-                Image.open(io.BytesIO(np.asarray(group[str(i)]))).convert("RGB"),
-                self._resize_to,
-            )
+            self._load_frame(group, i)
             for i in indices
         ]
         if cfg.train:

@@ -32,6 +32,7 @@ class Loader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,7 +41,18 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Intra-batch decode parallelism: PIL/libjpeg release the GIL, so
+        # threads scale near-linearly for the JPEG-heavy appearance path.
+        self.workers = max(1, workers)
+        self._pool = None
         self.epoch = 0
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.workers)
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -56,12 +68,21 @@ class Loader:
         return order
 
     def _make_batch(self, idxs: np.ndarray, rng: Optional[np.random.Generator]):
-        samples = [
-            self.dataset.__getitem__(int(i), rng=rng)
-            if rng is not None
-            else self.dataset[int(i)]
-            for i in idxs
-        ]
+        if rng is not None:
+            # Deterministic regardless of thread scheduling: one child
+            # generator per sample, seeded sequentially up front.
+            seeds = rng.integers(0, 2**63 - 1, size=len(idxs))
+            fetch = lambda pair: self.dataset.__getitem__(
+                int(pair[0]), rng=np.random.default_rng(int(pair[1]))
+            )
+            work = list(zip(idxs, seeds))
+        else:
+            fetch = lambda i: self.dataset[int(i)]
+            work = list(idxs)
+        if self.workers > 1:
+            samples = list(self._executor().map(fetch, work))
+        else:
+            samples = [fetch(w) for w in work]
         valid = np.ones((self.batch_size,), dtype=bool)
         if len(samples) < self.batch_size:
             valid[len(samples):] = False

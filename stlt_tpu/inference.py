@@ -45,6 +45,7 @@ def inference(args):
         args.batch_size,
         collaters_factory[args.dataset_type](data_cfg),
         prefetch=max(args.num_workers, 2),
+        workers=max(args.num_workers, 1),
     )
     num_classes = len(test_dataset.labels)
     model_config = make_model_config(

@@ -91,6 +91,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="Sequence-parallel axis size over the layout frame dim.")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"), help="Matmul/activation dtype.")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="JPEG DCT-scaled decode (~3x faster host path; "
+                        "training-safe, slightly different pixels).")
     p.add_argument("--remat", action="store_true",
                    help="Per-layer activation rematerialization (larger train batches).")
     p.add_argument("--use_pallas", action="store_true",

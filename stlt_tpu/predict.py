@@ -40,6 +40,7 @@ def predict(args):
         args.batch_size,
         collaters_factory[args.dataset_type](data_cfg),
         prefetch=max(args.num_workers, 2),
+        workers=max(args.num_workers, 1),
     )
     num_classes = len(dataset.labels)
     id2label = {int(v): k for k, v in dataset.labels.items()}

@@ -62,6 +62,7 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         score_threshold=args.score_threshold,
         spatial_size=args.spatial_size,
         frames_multiple=getattr(args, "context_parallel", 1),
+        fast_decode=args.fast_decode,
     )
 
 
@@ -90,12 +91,14 @@ def train(args):
         shuffle=True,
         seed=args.seed,
         prefetch=max(args.num_workers, 2),
+        workers=max(args.num_workers, 1),
     )
     val_loader = Loader(
         val_dataset,
         args.batch_size,
         collaters_factory[args.dataset_type](val_cfg),
         prefetch=max(args.num_workers, 2),
+        workers=max(args.num_workers, 1),
     )
 
     logging.info("Preparing model...")

@@ -67,3 +67,21 @@ def test_prefetch_propagates_worker_errors():
 def test_zero_prefetch_synchronous_path():
     loader = Loader(ToyDataset(6), 2, collate, prefetch=0)
     assert len(list(loader)) == 3
+
+
+def test_threaded_workers_deterministic_and_equal():
+    """workers>1 must produce byte-identical batches to workers=1 (per-sample
+    child RNGs are seeded up front, independent of thread scheduling)."""
+
+    class RngDataset(ToyDataset):
+        class config:
+            train = True
+
+        def __getitem__(self, idx, rng=None):
+            jitter = rng.integers(0, 1000) if rng is not None else 0
+            return {"x": np.full((3,), idx * 1000 + int(jitter), dtype=np.int64)}
+
+    a = Loader(RngDataset(12), 4, collate, shuffle=True, seed=9, workers=4)
+    b = Loader(RngDataset(12), 4, collate, shuffle=True, seed=9, workers=1)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["x"], bb["x"])
