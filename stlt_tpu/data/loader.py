@@ -21,6 +21,28 @@ from typing import Callable, Dict, Iterator, List, Optional
 import numpy as np
 
 
+def device_prefetch(iterator, shardings):
+    """Overlap host→device transfer with device compute: device_put batch
+    k+1 (async) before yielding batch k. ``shardings`` is a per-key
+    sharding dict (from ``stlt_tpu.training.loop.batch_shardings``)."""
+    import jax
+
+    def put(batch):
+        return {
+            k: jax.device_put(v, shardings[k]) if k in shardings else v
+            for k, v in batch.items()
+        }
+
+    pending = None
+    for batch in iterator:
+        staged = put(batch)
+        if pending is not None:
+            yield pending
+        pending = staged
+    if pending is not None:
+        yield pending
+
+
 class Loader:
     def __init__(
         self,

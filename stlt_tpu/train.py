@@ -185,10 +185,14 @@ def train(args):
     # the reference has only tqdm progress bars).
     profile_window = (10, 15) if args.profile_dir else None
     global_step = int(jax.device_get(state.step))
+    from stlt_tpu.data.loader import device_prefetch
+    from stlt_tpu.training.loop import batch_shardings
+
+    batch_shards = batch_shardings(mesh, template_batch)
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
         running_loss, seen = 0.0, 0
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader, batch_shards):
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(args.profile_dir)
             state, loss = steps.train_step(state, batch, dropout_key)
