@@ -24,7 +24,11 @@ from stlt_tpu.data.loader import Loader
 from stlt_tpu.models import models_factory
 from stlt_tpu.parallel.mesh import make_mesh
 from stlt_tpu.parser import build_parser
-from stlt_tpu.train import build_data_config, model_inputs_template
+from stlt_tpu.train import (
+    build_data_config,
+    make_template_batch,
+    model_inputs_template,
+)
 from stlt_tpu.training import checkpoint as ckpt
 from stlt_tpu.training.loop import compile_steps
 
@@ -62,7 +66,7 @@ def predict(args):
         remat=args.remat,
     )
     model = models_factory[args.model_name](model_config)
-    template_batch = next(iter(loader))
+    template_batch = make_template_batch(dataset, args.dataset_type, data_cfg)
     params = model.init(
         jax.random.PRNGKey(0), model_inputs_template(template_batch)
     )["params"]

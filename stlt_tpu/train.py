@@ -29,7 +29,7 @@ import numpy as np
 
 from stlt_tpu.configs import DataConfig, category2id_for, make_model_config
 from stlt_tpu.data import collaters_factory, datasets_factory
-from stlt_tpu.data.loader import Loader
+from stlt_tpu.data.loader import Loader, device_prefetch
 from stlt_tpu.models import models_factory
 from stlt_tpu.parallel.mesh import make_mesh
 from stlt_tpu.parser import build_parser
@@ -68,6 +68,14 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
 
 def model_inputs_template(batch):
     return {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+
+
+def make_template_batch(dataset, dataset_type, data_cfg):
+    """One-sample batch with the Loader's key set (incl. the valid mask)."""
+    collate = collaters_factory[dataset_type](data_cfg)
+    batch = collate([dataset[0]])
+    batch["valid"] = np.ones((1,), bool)
+    return batch
 
 
 def train(args):
@@ -127,8 +135,10 @@ def train(args):
     logging.info("==================================")
     model = models_factory[args.model_name](model_config)
 
-    # Init params from one template batch.
-    template_batch = next(iter(val_loader))
+    # Init params from one template batch (built directly — consuming one
+    # item of the Loader iterator would strand its producer thread holding
+    # prefetched batches for the whole run).
+    template_batch = make_template_batch(val_dataset, args.dataset_type, val_cfg)
     params = model.init(
         jax.random.PRNGKey(args.seed), model_inputs_template(template_batch)
     )["params"]
@@ -185,14 +195,10 @@ def train(args):
     # the reference has only tqdm progress bars).
     profile_window = (10, 15) if args.profile_dir else None
     global_step = int(jax.device_get(state.step))
-    from stlt_tpu.data.loader import device_prefetch
-    from stlt_tpu.training.loop import batch_shardings
-
-    batch_shards = batch_shardings(mesh, template_batch)
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
         running_loss, seen = 0.0, 0
-        for batch in device_prefetch(train_loader, batch_shards):
+        for batch in device_prefetch(train_loader, steps.batch_sharding):
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(args.profile_dir)
             state, loss = steps.train_step(state, batch, dropout_key)
@@ -209,7 +215,7 @@ def train(args):
         )
         # Validation
         evaluator.reset()
-        for batch in val_loader:
+        for batch in device_prefetch(val_loader, steps.batch_sharding):
             logits = steps.eval_step(state.params, batch)
             evaluator.process(
                 {k: np.asarray(v) for k, v in logits.items()},

@@ -100,6 +100,7 @@ class CompiledSteps:
     mesh: Mesh
     state_sharding: Any
     params_sharding: Any
+    batch_sharding: Any  # per-key dict when batch_template given, else one sharding
     train_step: Optional[Callable]
     eval_step: Callable
 
@@ -154,6 +155,7 @@ def compile_steps(
         mesh=mesh,
         state_sharding=state_sharding,
         params_sharding=p_shard,
+        batch_sharding=batch_shard,
         train_step=train_step,
         eval_step=eval_step,
     )

@@ -85,3 +85,18 @@ def test_threaded_workers_deterministic_and_equal():
     b = Loader(RngDataset(12), 4, collate, shuffle=True, seed=9, workers=1)
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(ba["x"], bb["x"])
+
+
+def test_device_prefetch_order_and_tail():
+    import jax
+
+    from stlt_tpu.data.loader import device_prefetch
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices("cpu")[0])
+    batches = [{"x": np.full((2,), i), "extra": i} for i in range(5)]
+    out = list(device_prefetch(iter(batches), {"x": sharding}))
+    assert len(out) == 5  # tail batch flushed
+    for i, b in enumerate(out):  # order preserved
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2,), i))
+        assert b["extra"] == i  # keys missing from shardings pass through
+    assert list(device_prefetch(iter([]), {"x": sharding})) == []
