@@ -67,10 +67,49 @@ struct Parser {
           case 'b': out->push_back('\b'); break;
           case 'f': out->push_back('\f'); break;
           case 'u': {
-            // keep the raw escape (labels/templates never need real unicode
-            // decoding for our joins)
-            out->append("\\u");
-            for (int i = 0; i < 4 && p + 1 < end; ++i) out->push_back(*++p);
+            unsigned cp = 0;
+            for (int i = 0; i < 4; ++i) {
+              if (p + 1 >= end) return fail("bad \\u escape");
+              char c2 = *++p;
+              cp <<= 4;
+              if (c2 >= '0' && c2 <= '9') cp |= c2 - '0';
+              else if (c2 >= 'a' && c2 <= 'f') cp |= c2 - 'a' + 10;
+              else if (c2 >= 'A' && c2 <= 'F') cp |= c2 - 'A' + 10;
+              else return fail("bad \\u escape");
+            }
+            if (cp >= 0xD800 && cp <= 0xDBFF && p + 6 < end && p[1] == '\\' &&
+                p[2] == 'u') {
+              unsigned lo = 0;
+              const char* q = p + 2;
+              bool ok = true;
+              for (int i = 0; i < 4; ++i) {
+                char c2 = *++q;
+                lo <<= 4;
+                if (c2 >= '0' && c2 <= '9') lo |= c2 - '0';
+                else if (c2 >= 'a' && c2 <= 'f') lo |= c2 - 'a' + 10;
+                else if (c2 >= 'A' && c2 <= 'F') lo |= c2 - 'A' + 10;
+                else { ok = false; break; }
+              }
+              if (ok && lo >= 0xDC00 && lo <= 0xDFFF) {
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+                p = q;
+              }
+            }
+            // encode cp as UTF-8
+            if (cp < 0x80) out->push_back((char)cp);
+            else if (cp < 0x800) {
+              out->push_back((char)(0xC0 | (cp >> 6)));
+              out->push_back((char)(0x80 | (cp & 0x3F)));
+            } else if (cp < 0x10000) {
+              out->push_back((char)(0xE0 | (cp >> 12)));
+              out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+              out->push_back((char)(0x80 | (cp & 0x3F)));
+            } else {
+              out->push_back((char)(0xF0 | (cp >> 18)));
+              out->push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+              out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+              out->push_back((char)(0x80 | (cp & 0x3F)));
+            }
             break;
           }
           default: out->push_back(*p);
@@ -134,7 +173,9 @@ struct Parser {
 // ---------------------------------------------------------------------------
 
 struct Object {
-  float x1, y1, x2, y2, score;
+  // doubles throughout: int-casts and threshold compares must match
+  // Python's double semantics exactly (e.g. int(427.9999999))
+  double x1, y1, x2, y2, score;
   int32_t category;
 };
 
@@ -161,7 +202,7 @@ struct Arena {
 bool parse_object_entry(Parser& ps, const std::unordered_map<std::string, int32_t>& vocab,
                         Arena* arena) {
   if (!ps.consume('{')) return ps.fail("expected frame object");
-  Object obj{0, 0, 0, 0, 0, -1};
+  Object obj{0, 0, 0, 0, 0.0, -1};
   if (!ps.peek('}')) {
     while (true) {
       std::string key;
@@ -176,11 +217,11 @@ bool parse_object_entry(Parser& ps, const std::unordered_map<std::string, int32_
                  key == "score") {
         double d;
         if (!ps.parse_number(&d)) return false;
-        if (key == "x1") obj.x1 = (float)d;
-        else if (key == "y1") obj.y1 = (float)d;
-        else if (key == "x2") obj.x2 = (float)d;
-        else if (key == "y2") obj.y2 = (float)d;
-        else obj.score = (float)d;
+        if (key == "x1") obj.x1 = d;
+        else if (key == "y1") obj.y1 = d;
+        else if (key == "x2") obj.x2 = d;
+        else if (key == "y2") obj.y2 = d;
+        else obj.score = d;
       } else {
         if (!ps.skip_value()) return false;
       }
@@ -284,7 +325,7 @@ bool parse_video(Parser& ps, const std::unordered_map<std::string, int32_t>& voc
 
 // fix_box (exact semantics of reference data_utils.py:205-231 /
 // stlt_tpu/data/boxes.py).
-void fix_box(float in[4], float height, float width, int out[4]) {
+void fix_box(const double in[4], float height, float width, int out[4]) {
   int x1 = (int)in[0] < 0 ? 0 : (int)in[0];
   int y1 = (int)in[1] < 0 ? 0 : (int)in[1];
   int x2 = (int)in[2] < 0 ? 0 : (int)in[2];
@@ -382,7 +423,7 @@ void lt_set_size(void* handle, int idx, float width, float height) {
   v.height = height;
 }
 
-int lt_scan_max_objects(void* handle, float threshold) {
+int lt_scan_max_objects(void* handle, double threshold) {
   auto* arena = static_cast<Arena*>(handle);
   int max_objects = -1;
   for (const auto& video : arena->videos) {
@@ -401,7 +442,7 @@ int lt_scan_max_objects(void* handle, float threshold) {
 // Fill fixed-shape buffers for one clip. Returns 0 on success, negative on
 // error (-1 unknown category, -2 bad index).
 int lt_tokenize(void* handle, int video_idx, const int32_t* indices, int n_indices,
-                float threshold, int cls_id, int type_pad, int type_regular,
+                double threshold, int cls_id, int type_pad, int type_regular,
                 int type_empty, int type_extract, int num_total_frames,
                 int num_boxes, int32_t* categories, float* boxes, float* scores,
                 int32_t* frame_types) {
@@ -437,12 +478,12 @@ int lt_tokenize(void* handle, int video_idx, const int32_t* indices, int n_indic
       const Object& obj = arena->objects[frame.obj_start + o];
       if (obj.score < threshold) continue;
       if (obj.category < 0) return -1;
-      float raw[4] = {obj.x1, obj.y1, obj.x2, obj.y2};
+      const double raw[4] = {obj.x1, obj.y1, obj.x2, obj.y2};
       int fixed[4];
       fix_box(raw, video.height, video.width, fixed);
       for (int c = 0; c < 4; ++c) box[slot * 4 + c] = fixed[c] / wh[c];
       cat[slot] = obj.category;
-      sc[slot] = obj.score;
+      sc[slot] = (float)obj.score;
       ++slot;
     }
   }

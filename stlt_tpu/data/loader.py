@@ -138,22 +138,40 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: List[BaseException] = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded put: bail out if the consumer abandoned the iterator,
+            # instead of blocking forever holding decoded batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for chunk in chunks:
-                    q.put(self._make_batch(chunk, rng))
+                    if not put(self._make_batch(chunk, rng)):
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close/abandonment
+            # (consumer exception, break, GC): release the producer.
+            stop.set()

@@ -70,12 +70,12 @@ def load_library():
     lib.lt_video_meta.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.lt_set_size.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_float]
     lib.lt_scan_max_objects.restype = ctypes.c_int
-    lib.lt_scan_max_objects.argtypes = [ctypes.c_void_p, ctypes.c_float]
+    lib.lt_scan_max_objects.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.lt_tokenize.restype = ctypes.c_int
     lib.lt_tokenize.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.c_float,
+        ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),

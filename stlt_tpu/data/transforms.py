@@ -25,11 +25,13 @@ from PIL import Image, ImageEnhance
 
 
 def resize_shorter_side(img: Image.Image, target: int) -> Image.Image:
+    # torchvision Resize(int) TRUNCATES the long side: int(size * long / short)
+    # — keep that exactly (the released checkpoints saw these pixels).
     w, h = img.size
     if w <= h:
-        new_w, new_h = target, max(1, int(round(target * h / w)))
+        new_w, new_h = target, max(1, int(target * h / w))
     else:
-        new_w, new_h = max(1, int(round(target * w / h))), target
+        new_w, new_h = max(1, int(target * w / h)), target
     if (new_w, new_h) == (w, h):
         return img
     return img.resize((new_w, new_h), Image.BILINEAR)

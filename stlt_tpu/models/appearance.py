@@ -29,7 +29,11 @@ from flax import linen as nn
 from jax.nn import initializers
 
 from stlt_tpu.configs import AppearanceModelConfig
-from stlt_tpu.models.layers import TransformerEncoder, torch_dense
+from stlt_tpu.models.layers import (
+    TransformerEncoder,
+    torch_dense,
+    torch_linear_bias_init,
+)
 from stlt_tpu.models.resnet3d import ResNet3D
 
 KINETICS_CLASSES = 1139  # reference models.py:201
@@ -87,6 +91,8 @@ class TransformerResnet(nn.Module):
             use_bias=True,
             dtype=dtype,
             kernel_init=initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            # torch Conv3d default bias: U(±1/sqrt(fan_in)), fan_in = 2048·1·1·1
+            bias_init=torch_linear_bias_init(2048),
         )
         self.cls_token = self.param(
             "cls_token", initializers.zeros, (1, 1, cfg.hidden_size)

@@ -203,8 +203,11 @@ class Stlt(nn.Module):
         self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
-        # A frozen backbone runs in eval mode (reference models.py:180-183).
-        backbone_deterministic = deterministic or bool(cfg.freeze_backbone)
+        # A frozen backbone runs in eval mode — only when it was actually
+        # loaded+frozen (reference gates on load_backbone_path, models.py:170-183).
+        backbone_deterministic = deterministic or bool(
+            cfg.load_backbone_path and cfg.freeze_backbone
+        )
         hidden = StltBackbone(cfg, name="backbone")(
             batch, deterministic=backbone_deterministic
         )

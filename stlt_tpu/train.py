@@ -166,6 +166,13 @@ def train(args):
         num_warmup_steps=args.warmup_epochs * num_batches,
         num_training_steps=args.epochs * num_batches,
         freeze_backbone=bool(args.freeze_backbone and args.load_backbone_path),
+        # Reference add_weight_decay honors model.no_weight_decay(), defined
+        # only by TransformerResnet (models.py:282-283).
+        no_decay_names=(
+            ("pos_embed", "cls_token")
+            if args.model_name == "resnet3d-transformer"
+            else ()
+        ),
     )
     state = create_train_state(params, tx)
 
@@ -185,6 +192,9 @@ def train(args):
         if restored is not None:
             state = jax.device_put(restored, steps.state_sharding)
             start_epoch = int(jax.device_get(state.step)) // max(1, len(train_loader))
+            # Keep the data order of an uninterrupted run: the loader's
+            # shuffle/augmentation RNG is keyed on (seed, epoch).
+            train_loader.epoch = start_epoch
             logging.info("Resumed at step %d (epoch %d)", int(jax.device_get(state.step)), start_epoch)
 
     evaluator = evaluators_factory[args.dataset_name](

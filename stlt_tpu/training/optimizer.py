@@ -25,16 +25,16 @@ from typing import Any, Optional
 import optax
 from flax import traverse_util
 
-NO_WEIGHT_DECAY_NAMES = ("pos_embed", "cls_token")
-
-
-def weight_decay_mask(params: Any) -> Any:
-    """True where weight decay applies (mirrors add_weight_decay)."""
+def weight_decay_mask(params: Any, no_decay_names: tuple = ()) -> Any:
+    """True where weight decay applies (mirrors add_weight_decay:
+    no decay for 1-D params, .bias, and the model's no_weight_decay() set —
+    which only TransformerResnet defines in the reference, so fusion models
+    DO decay their pos_embed/cls_token, matching train_inference_utils.py:37-54)."""
     flat = traverse_util.flatten_dict(params)
     mask = {
         path: (getattr(leaf, "ndim", 0) > 1)
         and path[-1] != "bias"
-        and path[-1] not in NO_WEIGHT_DECAY_NAMES
+        and path[-1] not in no_decay_names
         for path, leaf in flat.items()
     }
     return traverse_util.unflatten_dict(mask)
@@ -99,6 +99,7 @@ def make_optimizer(
     num_warmup_steps: int,
     num_training_steps: int,
     freeze_backbone: bool = False,
+    no_decay_names: tuple = (),
 ) -> optax.GradientTransformation:
     schedule = linear_warmup_decay(learning_rate, num_warmup_steps, num_training_steps)
     tx = optax.chain(
@@ -109,7 +110,7 @@ def make_optimizer(
             b2=0.999,
             eps=1e-8,
             weight_decay=weight_decay,
-            mask=weight_decay_mask(params),
+            mask=weight_decay_mask(params, no_decay_names),
         ),
     )
     # Frozen params receive zero updates entirely (the torch analogue:

@@ -100,3 +100,21 @@ def test_device_prefetch_order_and_tail():
         np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2,), i))
         assert b["extra"] == i  # keys missing from shardings pass through
     assert list(device_prefetch(iter([]), {"x": sharding})) == []
+
+
+def test_abandoned_iterator_releases_producer():
+    import gc
+    import threading
+    import time
+
+    before = threading.active_count()
+    loader = Loader(ToyDataset(100), 2, collate, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer running, queue full
+    it.close()  # abandon mid-epoch
+    del it
+    gc.collect()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

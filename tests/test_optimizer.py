@@ -35,7 +35,13 @@ def test_weight_decay_mask():
     assert mask[("backbone", "linear1", "kernel")] is True
     assert mask[("backbone", "linear1", "bias")] is False  # 1-D / .bias
     assert mask[("head", "fc", "kernel")] is True
-    assert mask[("pos_embed",)] is False  # no_weight_decay set
+    # reference: only models declaring no_weight_decay() exempt these
+    # (TransformerResnet standalone); by default 3-D pos_embed decays
+    assert mask[("pos_embed",)] is True
+    masked = traverse_util.flatten_dict(
+        weight_decay_mask(_params(), no_decay_names=("pos_embed", "cls_token"))
+    )
+    assert masked[("pos_embed",)] is False
 
 
 def test_frozen_masks():
