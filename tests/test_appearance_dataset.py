@@ -86,3 +86,23 @@ def test_multimodal_pairs_and_collate(setup):
     np.testing.assert_array_equal(
         batch["labels"], np.stack([ds[i]["layout"]["labels"] for i in range(2)])
     )
+
+
+def test_resize_shorter_side_torchvision_size_formula():
+    """torchvision Resize(int) truncates the long side: int(size*long/short).
+    Sizes must match exactly (the released checkpoints saw those pixels)."""
+    from PIL import Image
+
+    from stlt_tpu.data.transforms import resize_shorter_side
+
+    cases = [
+        ((427, 240), 128, (227, 128)),   # int(128*427/240) = 227 (not round->228)
+        ((240, 427), 128, (128, 227)),
+        ((320, 240), 128, (170, 128)),   # int(128*320/240) = 170
+        ((128, 128), 128, (128, 128)),   # no-op
+        ((100, 150), 128, (128, 192)),   # upscale
+    ]
+    for (w, h), target, expected in cases:
+        img = Image.new("RGB", (w, h))
+        out = resize_shorter_side(img, target)
+        assert out.size == expected, ((w, h), out.size, expected)
