@@ -40,3 +40,39 @@ def fix_box(box: Sequence[float], video_size: Tuple[int, int]) -> List[int]:
     if y1 == y2:
         y1 -= 1
     return [x1, y1, x2, y2]
+
+
+# --- auxiliary box transforms (reference data_utils.py:140-202; unused by
+# the reference's main path but part of its public surface) ----------------
+
+
+def valid_box(box: Sequence[float], frame_size: int) -> bool:
+    """False when the box lies entirely outside a frame_size² crop
+    (reference data_utils.py:188-197)."""
+    x1, y1, x2, y2 = box
+    if x1 >= frame_size and x2 >= frame_size:
+        return False
+    if x1 <= 0 and x2 <= 0:
+        return False
+    if y1 >= frame_size and y2 >= frame_size:
+        return False
+    if y1 <= 0 and y2 <= 0:
+        return False
+    return True
+
+
+def clamp_box(box: Sequence[float], frame_size: int) -> List[float]:
+    """Clamp all coordinates into [0, frame_size] (reference data_utils.py:200-202)."""
+    return [max(0, min(v, frame_size)) for v in box]
+
+
+def resize_box(box: Sequence[float], scale_factor: float) -> List[float]:
+    """Scale box coordinates (reference ResizeBoxes, data_utils.py:140-146)."""
+    return [v * scale_factor for v in box]
+
+
+def translate_box(box: Sequence[float], top: int, left: int) -> List[float]:
+    """Shift a box into a crop's coordinate frame (reference
+    CenterCropBoxes/RandomCropBoxes, data_utils.py:149-185)."""
+    x1, y1, x2, y2 = box
+    return [x1 - left, y1 - top, x2 - left, y2 - top]

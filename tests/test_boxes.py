@@ -38,3 +38,21 @@ def test_degenerate_nonzero():
 def test_degenerate_after_clamp():
     # both corners beyond the frame collapse, then de-degenerate
     assert fix_box([400, 60, 500, 80], HW) == [318, 60, 319, 80]
+
+
+def test_valid_box():
+    from stlt_tpu.data.boxes import valid_box
+
+    assert valid_box([10, 10, 50, 50], 112)
+    assert not valid_box([120, 10, 130, 50], 112)  # fully right of crop
+    assert not valid_box([-20, 10, -5, 50], 112)   # fully left
+    assert not valid_box([10, 115, 50, 120], 112)  # fully below
+    assert valid_box([100, 10, 120, 50], 112)      # straddles the edge
+
+
+def test_clamp_resize_translate():
+    from stlt_tpu.data.boxes import clamp_box, resize_box, translate_box
+
+    assert clamp_box([-5, 10, 130, 50], 112) == [0, 10, 112, 50]
+    assert resize_box([2, 4, 6, 8], 0.5) == [1, 2, 3, 4]
+    assert translate_box([10, 20, 30, 40], top=5, left=8) == [2, 15, 22, 35]
