@@ -63,6 +63,9 @@ def bench_batch_size(model, params, batch_size, n_short=2, n_long=18):
 
 
 def main():
+    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     config = StltModelConfig(
         num_classes=174,
         unique_categories=4,

@@ -38,6 +38,9 @@ from stlt_tpu.training.loop import compile_steps
 def inference(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     logging.info("Devices: %s", jax.devices())
     logging.info("Preparing dataset...")

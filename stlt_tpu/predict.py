@@ -36,6 +36,9 @@ from stlt_tpu.training.loop import compile_steps
 def predict(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     data_cfg = build_data_config(args, train=False, dataset_path=args.test_dataset_path)
     dataset = datasets_factory[args.dataset_type](data_cfg)

@@ -81,6 +81,9 @@ def make_template_batch(dataset, dataset_type, data_cfg):
 def train(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     setup_logging(args.log_filepath)
     logging.info("Devices: %s", jax.devices())
     logging.info("Preparing datasets...")
