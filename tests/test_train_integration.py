@@ -155,3 +155,20 @@ def test_predict_cli(trained, tmp_path):
     # every dataset clip appears exactly once, in order
     ids = [r["video_id"] for r in lines]
     assert len(set(ids)) == len(ids)
+
+
+def test_train_with_context_parallel(tmp_path):
+    """Full CLI with sequence parallelism: frames_multiple pads the frame
+    axis so the context mesh axis divides it."""
+    from stlt_tpu.train import train
+
+    tmpdir = str(tmp_path)
+    paths, *_ = make_something_fixture(tmpdir, num_videos=4, seed=8)
+    args = make_args(
+        tmpdir, paths,
+        epochs=1, layout_num_frames=7, batch_size=2,
+        model_parallel=2, context_parallel=2,
+    )
+    state = train(args)
+    assert int(np.asarray(state.step)) == 2
+    assert os.path.exists(args.save_model_path)
