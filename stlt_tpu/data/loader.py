@@ -21,13 +21,26 @@ from typing import Callable, Dict, Iterator, List, Optional
 import numpy as np
 
 
-def device_prefetch(iterator, shardings):
+def device_prefetch(iterator, shardings, *, global_batch_size: Optional[int] = None):
     """Overlap host→device transfer with device compute: device_put batch
     k+1 (async) before yielding batch k. ``shardings`` is a per-key
-    sharding dict (from ``stlt_tpu.training.loop.batch_shardings``)."""
+    sharding dict (from ``stlt_tpu.training.loop.batch_shardings``).
+
+    Multi-process: each process's iterator yields only its LOCAL rows (see
+    ``Loader(rows=...)``); pass ``global_batch_size`` and the yielded arrays
+    become global ``jax.Array``s assembled across processes."""
     import jax
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch):
+        if multiprocess:
+            from stlt_tpu.parallel.distributed import make_global_batch
+
+            assert global_batch_size is not None, (
+                "device_prefetch needs global_batch_size in multi-process mode"
+            )
+            return make_global_batch(batch, shardings, global_batch_size)
         return {
             k: jax.device_put(v, shardings[k]) if k in shardings else v
             for k, v in batch.items()
@@ -55,6 +68,7 @@ class Loader:
         drop_last: bool = False,
         prefetch: int = 2,
         workers: int = 1,
+        rows: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +77,15 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Multi-process data sharding: this loader materializes only global
+        # batch rows [rows[0], rows[1]) of each batch (from
+        # ``stlt_tpu.parallel.distributed.process_row_span``). Epoch order
+        # and per-sample augmentation seeds are computed for the FULL global
+        # batch on every process, so the global data stream is bit-identical
+        # to a single-process run regardless of the process count.
+        self.rows = rows if rows is not None else (0, batch_size)
+        if not (0 <= self.rows[0] < self.rows[1] <= batch_size):
+            raise ValueError(f"rows {rows} out of range for batch_size {batch_size}")
         # Intra-batch decode parallelism: PIL/libjpeg release the GIL, so
         # threads scale near-linearly for the JPEG-heavy appearance path.
         self.workers = max(1, workers)
@@ -90,25 +113,34 @@ class Loader:
         return order
 
     def _make_batch(self, idxs: np.ndarray, rng: Optional[np.random.Generator]):
+        lo, hi = self.rows
         if rng is not None:
-            # Deterministic regardless of thread scheduling: one child
-            # generator per sample, seeded sequentially up front.
+            # Deterministic regardless of thread scheduling or process
+            # sharding: one child generator per GLOBAL sample, seeded
+            # sequentially up front (every process draws the full batch's
+            # seeds so the rng stream stays aligned across process counts).
             seeds = rng.integers(0, 2**63 - 1, size=len(idxs))
             fetch = lambda pair: self.dataset.__getitem__(
                 int(pair[0]), rng=np.random.default_rng(int(pair[1]))
             )
-            work = list(zip(idxs, seeds))
+            work = [(idxs[p], seeds[p]) for p in range(lo, min(hi, len(idxs)))]
+            template_work = (idxs[0], seeds[0])
         else:
             fetch = lambda i: self.dataset[int(i)]
-            work = list(idxs)
-        if self.workers > 1:
+            work = [idxs[p] for p in range(lo, min(hi, len(idxs)))]
+            template_work = idxs[0]
+        if self.workers > 1 and work:
             samples = list(self._executor().map(fetch, work))
         else:
             samples = [fetch(w) for w in work]
-        valid = np.ones((self.batch_size,), dtype=bool)
-        if len(samples) < self.batch_size:
-            valid[len(samples):] = False
-            samples = samples + [samples[0]] * (self.batch_size - len(samples))
+        valid = np.zeros((hi - lo,), dtype=bool)
+        valid[: len(work)] = True
+        if len(samples) < hi - lo:
+            # Pad rows (masked out by ``valid``) repeat a real sample so
+            # shapes stay static; a process whose whole slice is padding
+            # borrows the batch's first global sample.
+            filler = samples[0] if samples else fetch(template_work)
+            samples = samples + [filler] * (hi - lo - len(samples))
         batch = self.collate(samples)
         batch["valid"] = valid
         return batch

@@ -38,11 +38,22 @@ from stlt_tpu.training.loop import compile_steps
 def inference(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    from stlt_tpu.parallel.distributed import maybe_initialize, process_row_span
+    from stlt_tpu.parallel.mesh import batch_sharding as data_sharding
+
+    multiprocess = maybe_initialize(args)
     from stlt_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     logging.info("Devices: %s", jax.devices())
+    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
+                     context_parallel=args.context_parallel)
+    rows = (
+        process_row_span(data_sharding(mesh), args.batch_size)
+        if multiprocess
+        else None
+    )
     logging.info("Preparing dataset...")
     data_cfg = build_data_config(args, train=False, dataset_path=args.test_dataset_path)
     test_dataset = datasets_factory[args.dataset_type](data_cfg)
@@ -53,6 +64,7 @@ def inference(args):
         collaters_factory[args.dataset_type](data_cfg),
         prefetch=max(args.num_workers, 2),
         workers=max(args.num_workers, 1),
+        rows=rows,
     )
     num_classes = len(test_dataset.labels)
     model_config = make_model_config(
@@ -92,22 +104,25 @@ def inference(args):
         logging.warning("%s", e)
         params = ckpt.load_params(args.checkpoint_path, params, strict=False)
 
-    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
-                     context_parallel=args.context_parallel)
     steps = compile_steps(mesh, model, params_template=params,
                           batch_template=template_batch)
-    params = jax.device_put(params, steps.params_sharding)
+    from stlt_tpu.data.loader import device_prefetch
+    from stlt_tpu.parallel.distributed import put_tree
+
+    params = put_tree(params, steps.params_sharding)
 
     evaluator = evaluators_factory[args.dataset_name](
         len(test_dataset), num_classes, model.logit_names
     )
     logging.info("Starting inference...")
-    for batch in loader:
+    for batch in device_prefetch(
+        loader, steps.batch_sharding, global_batch_size=args.batch_size
+    ):
         logits = steps.eval_step(params, batch)
         evaluator.process(
             {k: np.asarray(v) for k, v in logits.items()},
-            batch["labels"],
-            valid=batch["valid"],
+            steps.to_host(batch["labels"]),
+            valid=steps.to_host(batch["valid"]),
         )
     metrics = evaluator.evaluate()
     logging.info("=================================")

@@ -13,6 +13,7 @@ passing an explicit device array. PP/EP are explicit non-goals (SURVEY.md
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -34,8 +35,15 @@ def make_mesh(
     data = n_devices // (model_parallel · context_parallel).
 
     If ``batch_size`` is given and doesn't divide the data axis, the data
-    axis shrinks to the largest divisor of both (dropping surplus devices),
-    so small/debug batch sizes still run.
+    axis shrinks to the largest divisor of both so small/debug batch sizes
+    still run — with a loud warning naming the idle devices (single-process
+    only; multi-process refuses, since dropping devices would strand whole
+    hosts' batch slices).
+
+    Multi-process invariants (asserted): the ``model`` × ``context`` axes
+    must fit inside one process's local devices (they ride ICI, never DCN),
+    and every process must own whole data-rows — guaranteed by ``data``
+    being the outermost axis over the process-sorted global device list.
     """
     if devices is None:
         devices = jax.devices()
@@ -46,11 +54,31 @@ def make_mesh(
             f"model_parallel={model_parallel} x context_parallel="
             f"{context_parallel} does not divide {n} devices"
         )
+    multiprocess = jax.process_count() > 1
+    if multiprocess and per_replica > jax.local_device_count():
+        raise ValueError(
+            f"model_parallel x context_parallel = {per_replica} exceeds the "
+            f"{jax.local_device_count()} local devices per process; the "
+            "model/context axes must not span hosts (DCN)"
+        )
     data = n // per_replica
     if batch_size is not None:
         import math
 
-        data = math.gcd(data, batch_size)
+        shrunk = math.gcd(data, batch_size)
+        if shrunk != data:
+            if multiprocess:
+                raise ValueError(
+                    f"batch_size={batch_size} does not divide the data axis "
+                    f"({data}); in multi-process mode every device must be "
+                    "used — raise batch_size or change the mesh"
+                )
+            logging.warning(
+                "make_mesh: batch_size=%d shrinks the data axis %d -> %d; "
+                "%d of %d devices will be IDLE",
+                batch_size, data, shrunk, (data - shrunk) * per_replica, n,
+            )
+            data = shrunk
     grid = np.asarray(devices[: data * per_replica]).reshape(
         data, model_parallel, context_parallel
     )

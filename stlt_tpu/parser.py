@@ -99,6 +99,14 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="Use fused Pallas attention kernels.")
     p.add_argument("--seed", type=int, default=42, help="Global RNG seed.")
+    # --- multi-host runtime (jax.distributed) ---
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for jax.distributed. Setting "
+                        "it alone triggers auto-discovery init (TPU pods).")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="Total number of training processes (0/1 = single).")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="This process's rank in [0, num_processes).")
     p.add_argument("--resume_dir", type=str, default=None,
                    help="Orbax checkpoint dir for step checkpoints + resume.")
     p.add_argument("--profile_dir", type=str, default=None,

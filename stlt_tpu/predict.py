@@ -90,11 +90,13 @@ def predict(args):
             return dataset.layout_dataset.json_file[i]["id"]
         return getattr(dataset, "_video_ids")[i]  # native tokenizer
 
+    from stlt_tpu.data.loader import device_prefetch
+
     rows = []
     index = 0
-    for batch in loader:
+    for batch in device_prefetch(loader, steps.batch_sharding):
         logits = np.asarray(steps.eval_step(params, batch)[head], dtype=np.float64)
-        size = int(batch["valid"].sum())
+        size = int(np.asarray(batch["valid"]).sum())
         for row in range(size):
             scores = logits[row]
             if multilabel:

@@ -40,8 +40,10 @@ from stlt_tpu.training.loop import compile_steps, create_train_state
 from stlt_tpu.training.optimizer import make_optimizer
 
 
-def setup_logging(log_filepath):
-    if log_filepath:
+def setup_logging(log_filepath, *, coordinator: bool = True):
+    # Multi-process: only process 0 owns the log file (the reference's
+    # refuse-to-overwrite check, src/train.py:26-27, applies to it alone).
+    if log_filepath and coordinator:
         if os.path.exists(log_filepath):
             raise ValueError(f"There is a log at {log_filepath}!")
         logging.basicConfig(level=logging.INFO, filename=log_filepath, filemode="w")
@@ -81,11 +83,34 @@ def make_template_batch(dataset, dataset_type, data_cfg):
 def train(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    from stlt_tpu.parallel.distributed import (
+        is_coordinator,
+        maybe_initialize,
+        process_row_span,
+    )
+
+    multiprocess = maybe_initialize(args)
     from stlt_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
-    setup_logging(args.log_filepath)
+    setup_logging(args.log_filepath, coordinator=is_coordinator())
     logging.info("Devices: %s", jax.devices())
+    if multiprocess:
+        logging.info(
+            "Multi-process: %d processes x %d local devices",
+            jax.process_count(), jax.local_device_count(),
+        )
+    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
+                     context_parallel=args.context_parallel)
+    # The contiguous global-batch rows this process materializes (the whole
+    # batch when single-process).
+    from stlt_tpu.parallel.mesh import batch_sharding as data_sharding
+
+    rows = (
+        process_row_span(data_sharding(mesh), args.batch_size)
+        if multiprocess
+        else None
+    )
     logging.info("Preparing datasets...")
     train_cfg = build_data_config(args, train=True, dataset_path=args.train_dataset_path)
     val_cfg = build_data_config(args, train=False, dataset_path=args.val_dataset_path)
@@ -103,6 +128,7 @@ def train(args):
         seed=args.seed,
         prefetch=max(args.num_workers, 2),
         workers=max(args.num_workers, 1),
+        rows=rows,
     )
     val_loader = Loader(
         val_dataset,
@@ -110,6 +136,7 @@ def train(args):
         collaters_factory[args.dataset_type](val_cfg),
         prefetch=max(args.num_workers, 2),
         workers=max(args.num_workers, 1),
+        rows=rows,
     )
 
     logging.info("Preparing model...")
@@ -179,21 +206,24 @@ def train(args):
     )
     state = create_train_state(params, tx)
 
-    mesh = make_mesh(args.model_parallel, batch_size=args.batch_size,
-                     context_parallel=args.context_parallel)
     steps = compile_steps(mesh, model, tx, criterion, state=state,
                           batch_template=template_batch)
-    state = jax.device_put(state, steps.state_sharding)
-    # rbg PRNG: ~16% faster train step on TPU than threefry (dropout bits
-    # dominate the RNG cost); only the stream changes, not the distribution.
-    dropout_key = jax.random.key(args.seed + 1, impl="rbg")
+    from stlt_tpu.parallel.distributed import put_tree
+
+    state = put_tree(state, steps.state_sharding)
+    # Host scalar; the (rbg) PRNG key is built inside the jitted step.
+    dropout_seed = np.uint32(args.seed + 1)
 
     manager = ckpt.make_checkpoint_manager(args.resume_dir) if args.resume_dir else None
     start_epoch = 0
     if manager is not None:
         restored = ckpt.restore_train_state(manager, state)
         if restored is not None:
-            state = jax.device_put(restored, steps.state_sharding)
+            state = (
+                restored  # multi-process restore is already mesh-sharded
+                if jax.process_count() > 1
+                else jax.device_put(restored, steps.state_sharding)
+            )
             start_epoch = int(jax.device_get(state.step)) // max(1, len(train_loader))
             # Keep the data order of an uninterrupted run: the loader's
             # shuffle/augmentation RNG is keyed on (seed, epoch).
@@ -210,36 +240,47 @@ def train(args):
     global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
-        running_loss, seen = 0.0, 0
-        for batch in device_prefetch(train_loader, steps.batch_sharding):
+        # Losses stay ON DEVICE through the epoch (one scalar buffer per
+        # step); a single host fetch happens at the epoch boundary. A
+        # per-step float(loss) would force a device→host sync every step
+        # and serialize the double-buffered pipeline (~70ms RTT here).
+        losses, seen = [], 0
+        for batch in device_prefetch(
+            train_loader, steps.batch_sharding, global_batch_size=args.batch_size
+        ):
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(args.profile_dir)
-            state, loss = steps.train_step(state, batch, dropout_key)
-            running_loss += float(loss)
+            state, loss = steps.train_step(state, batch, dropout_seed)
+            losses.append(loss)
             seen += 1
             global_step += 1
             if profile_window and global_step == profile_window[1]:
                 jax.profiler.stop_trace()
                 profile_window = None
                 logging.info("Wrote profiler trace to %s", args.profile_dir)
+        epoch_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
         logging.info(
-            "Epoch %d: train loss %.4f (%d steps, %.1fs)",
-            epoch + 1, running_loss / max(seen, 1), seen, time.time() - epoch_start,
+            "Epoch %d: train loss %.6f (%d steps, %.1fs)",
+            epoch + 1, epoch_loss, seen, time.time() - epoch_start,
         )
         # Validation
         evaluator.reset()
-        for batch in device_prefetch(val_loader, steps.batch_sharding):
+        for batch in device_prefetch(
+            val_loader, steps.batch_sharding, global_batch_size=args.batch_size
+        ):
             logits = steps.eval_step(state.params, batch)
             evaluator.process(
                 {k: np.asarray(v) for k, v in logits.items()},
-                batch["labels"],
-                valid=batch["valid"],
+                steps.to_host(batch["labels"]),
+                valid=steps.to_host(batch["valid"]),
             )
         metrics = evaluator.evaluate()
         if evaluator.is_best():
             logging.info("=================================")
             logging.info("Found new best on epoch %d!", epoch + 1)
             logging.info("=================================")
+            # save_params is collective-safe: all processes participate in
+            # the gather, process 0 writes.
             ckpt.save_params(args.save_model_path, state.params)
             if args.save_backbone_path:
                 ckpt.save_params(args.save_backbone_path, state.params["backbone"])

@@ -23,7 +23,18 @@ from flax import serialization
 
 
 def save_params(path: str, params: Any) -> None:
+    """Write a msgpack params file.
+
+    Multi-process safe: EVERY process must call this (the replication gather
+    is a collective); only process 0 writes the file.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        params = multihost_utils.process_allgather(params, tiled=True)
     params = jax.device_get(params)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(params))
@@ -55,6 +66,11 @@ def make_checkpoint_manager(directory: str, max_to_keep: int = 3):
 def save_train_state(manager, step: int, state) -> None:
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # Orbax handles global (multi-host) arrays natively; each process
+        # writes its own shards.
+        manager.save(step, args=ocp.args.StandardSave(state))
+        return
     manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
 
 
@@ -65,5 +81,9 @@ def restore_train_state(manager, state_template) -> Optional[Any]:
     step = manager.latest_step()
     if step is None:
         return None
-    target = jax.device_get(state_template)
+    target = (
+        state_template
+        if jax.process_count() > 1
+        else jax.device_get(state_template)
+    )
     return manager.restore(step, args=ocp.args.StandardRestore(target))

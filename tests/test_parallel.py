@@ -87,7 +87,7 @@ def test_tp_invariant_train_loss(tiny_setup):
         steps = compile_steps(mesh, model, tx, criterion, state=state)
         state = jax.device_put(state, steps.state_sharding)
         for _ in range(3):
-            state, loss = steps.train_step(state, batch, jax.random.PRNGKey(9))
+            state, loss = steps.train_step(state, batch, np.uint32(9))
         losses[mp] = float(loss)
     assert np.isfinite(losses[1])
     np.testing.assert_allclose(losses[1], losses[2], atol=1e-4, rtol=1e-4)
