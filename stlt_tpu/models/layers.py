@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn import initializers
 
-from stlt_tpu.ops.attention import attention_probs, dot_product_attention
+from stlt_tpu.ops.attention import dot_product_attention
 
 # PyTorch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
 torch_linear_kernel_init = initializers.variance_scaling(
@@ -106,18 +106,24 @@ class MultiHeadAttention(nn.Module):
 
         apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
         if apply_prob_dropout:
-            # Training path with attention dropout: materialize probabilities
-            # (PyTorch applies dropout to the softmax weights).
-            probs = attention_probs(q, k, bias)
-            probs = nn.Dropout(rate=self.dropout_rate)(
-                probs, deterministic=False
-            )
-            out = jnp.einsum(
-                "bnts,bsnd->btnd",
-                probs.astype(v.dtype),
-                v,
-                preferred_element_type=jnp.float32,
+            # PyTorch MHA applies dropout to the normalized softmax weights.
+            # The keep mask is sampled HERE (outside the kernel) so the
+            # Pallas-fused and XLA paths share one stream, and the custom-vjp
+            # backward recomputes with the identical mask. Reading the bf16
+            # mask costs 2 bytes/prob vs the old path's f32 probability
+            # materialization (4B write + 4B read) — the train step keeps
+            # probabilities out of HBM entirely under use_pallas.
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"),
+                1.0 - self.dropout_rate,
+                (B, N, T, S),
             ).astype(v.dtype)
+            out = dot_product_attention(
+                q, k, v, bias,
+                use_pallas=self.use_pallas,
+                dropout_mask=keep,
+                dropout_rate=self.dropout_rate,
+            )
         else:
             out = dot_product_attention(q, k, v, bias, use_pallas=self.use_pallas)
 

@@ -24,9 +24,17 @@ def dot_product_attention_reference(
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    dropout_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
     """Plain XLA attention. q: [B, T, N, D]; k, v: [B, S, N, D];
-    bias: broadcastable to [B, N, T, S]. Returns [B, T, N, D]."""
+    bias: broadcastable to [B, N, T, S]. Returns [B, T, N, D].
+
+    ``dropout_mask`` ([B, N, T, S], 0/1) implements PyTorch MHA's
+    attention-probability dropout: the normalized probabilities are
+    multiplied by mask/(1-rate) before the value contraction. The mask is
+    sampled by the caller so the Pallas and XLA paths share one stream.
+    """
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
     logits = jnp.einsum(
@@ -35,6 +43,8 @@ def dot_product_attention_reference(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_mask is not None:
+        probs = probs * (dropout_mask.astype(jnp.float32) / (1.0 - dropout_rate))
     out = jnp.einsum(
         "bnts,bsnd->btnd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
@@ -66,10 +76,14 @@ def dot_product_attention(
     bias: Optional[jnp.ndarray] = None,
     *,
     use_pallas: bool = False,
+    dropout_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
     """Dispatch between the fused Pallas kernel and the XLA reference path."""
     if use_pallas:
         from stlt_tpu.ops.flash import flash_attention
 
-        return flash_attention(q, k, v, bias=bias)
-    return dot_product_attention_reference(q, k, v, bias)
+        return flash_attention(
+            q, k, v, bias=bias, dropout_mask=dropout_mask, dropout_rate=dropout_rate
+        )
+    return dot_product_attention_reference(q, k, v, bias, dropout_mask, dropout_rate)

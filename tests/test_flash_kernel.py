@@ -161,3 +161,107 @@ def test_remat_outputs_and_grads_match():
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
         grads[True], grads[False],
     )
+
+
+# --- blockwise (KV-loop) long-context kernel --------------------------------
+
+
+@pytest.mark.parametrize(
+    "B,T,S,N,D",
+    [
+        (2, 512, 512, 2, 32),   # VERDICT #3 done-when: T=S>=512
+        (2, 257, 257, 2, 32),   # 256 frames + extract — prime length (padding path)
+        (1, 130, 384, 2, 16),   # rectangular, non-multiple of the block
+    ],
+)
+def test_blockwise_kernel_matches_reference(B, T, S, N, D):
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, B, T, S, N, D)
+    got = flash_attention(q, k, v)
+    want = dot_product_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_blockwise_kernel_causal_padding_bias():
+    rng = np.random.default_rng(6)
+    B, T, N, D = 2, 300, 2, 16
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    pad = np.zeros((B, T), bool)
+    pad[:, -50:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+    got = flash_attention(q, k, v, bias)
+    want = dot_product_attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_blockwise_kernel_bf16_and_grads():
+    rng = np.random.default_rng(7)
+    B, T, N, D = 1, 256, 2, 16
+    q, k, v = _rand_qkv(rng, B, T, T, N, D, dtype=jnp.bfloat16)
+    got = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    want = np.asarray(dot_product_attention_reference(q, k, v)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    bias = masks.causal_bias(T)
+    gk = jax.grad(lambda a, b, c: flash_attention(a, b, c, bias).sum(), (0, 1, 2))(qf, kf, vf)
+    gr = jax.grad(
+        lambda a, b, c: dot_product_attention_reference(a, b, c, bias).sum(), (0, 1, 2)
+    )(qf, kf, vf)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+# --- fused attention-probability dropout (train path) ------------------------
+
+
+@pytest.mark.parametrize("T,S", [(9, 9), (17, 33), (257, 257)])
+def test_dropout_mask_kernel_matches_reference(T, S):
+    """Same keep-mask through the Pallas kernel and the XLA path, fwd + grad."""
+    rng = np.random.default_rng(8)
+    B, N, D, rate = 2, 2, 16, 0.25
+    q, k, v = _rand_qkv(rng, B, T, S, N, D)
+    keep = jnp.asarray(rng.random((B, N, T, S)) > rate, jnp.float32)
+    bias = masks.causal_bias(T) if T == S else None
+
+    def f_kernel(q, k, v):
+        return flash_attention(q, k, v, bias, dropout_mask=keep, dropout_rate=rate)
+
+    def f_ref(q, k, v):
+        return dot_product_attention_reference(q, k, v, bias, keep, rate)
+
+    np.testing.assert_allclose(
+        np.asarray(f_kernel(q, k, v)), np.asarray(f_ref(q, k, v)),
+        atol=2e-5, rtol=1e-4,
+    )
+    gk = jax.grad(lambda *a: f_kernel(*a).sum(), (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: f_ref(*a).sum(), (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_train_mode_pallas_matches_xla_exactly():
+    """With the mask sampled outside the kernel, the train-mode forward under
+    use_pallas must EQUAL the XLA path given the same dropout rng."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from __graft_entry__ import _synthetic_layout_batch
+
+    batch = _synthetic_layout_batch(4, 6, 4, 4, seed=21)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    outs = {}
+    for use_pallas in (False, True):
+        cfg = StltModelConfig(
+            num_classes=7, unique_categories=4, hidden_size=32,
+            num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+            hidden_dropout_prob=0.2, use_pallas=use_pallas,
+        )
+        model = models_factory["stlt"](cfg)
+        params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+        outs[use_pallas] = np.asarray(
+            model.apply(
+                {"params": params}, inputs,
+                deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)},
+            )["stlt"]
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=1e-5)
