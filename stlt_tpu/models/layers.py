@@ -76,6 +76,12 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Sequence-parallel self-attention: when True AND a mesh with a >1
+    # context axis is active (parallel.mesh.set_active_mesh), attention runs
+    # as a ppermute ring over frame shards (ops/ring.py) instead of letting
+    # XLA all-gather the K/V sequence. Set only on encoders whose token axis
+    # is the frame axis.
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(
@@ -104,6 +110,10 @@ class MultiHeadAttention(nn.Module):
         k = proj("k_proj")(key).reshape(B, S, N, D)
         v = proj("v_proj")(value).reshape(B, S, N, D)
 
+        from stlt_tpu.parallel.mesh import active_context_mesh
+
+        ring_mesh = active_context_mesh() if self.seq_shard else None
+
         apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
         if apply_prob_dropout:
             # PyTorch MHA applies dropout to the normalized softmax weights.
@@ -118,12 +128,24 @@ class MultiHeadAttention(nn.Module):
                 1.0 - self.dropout_rate,
                 (B, N, T, S),
             ).astype(v.dtype)
-            out = dot_product_attention(
-                q, k, v, bias,
-                use_pallas=self.use_pallas,
-                dropout_mask=keep,
-                dropout_rate=self.dropout_rate,
-            )
+            if ring_mesh is not None:
+                from stlt_tpu.ops.ring import ring_attention
+
+                out = ring_attention(
+                    q, k, v, bias, ring_mesh,
+                    dropout_mask=keep, dropout_rate=self.dropout_rate,
+                )
+            else:
+                out = dot_product_attention(
+                    q, k, v, bias,
+                    use_pallas=self.use_pallas,
+                    dropout_mask=keep,
+                    dropout_rate=self.dropout_rate,
+                )
+        elif ring_mesh is not None:
+            from stlt_tpu.ops.ring import ring_attention
+
+            out = ring_attention(q, k, v, bias, ring_mesh)
         else:
             out = dot_product_attention(q, k, v, bias, use_pallas=self.use_pallas)
 
@@ -163,6 +185,7 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_eps: float = 1e-5  # torch default; configs pass 1e-12
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(
@@ -177,6 +200,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            seq_shard=self.seq_shard,
             name="self_attn",
         )(x, x, x, bias, deterministic=deterministic)
         attn_out = nn.Dropout(rate=self.dropout_rate)(
@@ -213,6 +237,7 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    seq_shard: bool = False
     remat: bool = False
 
     @nn.compact
@@ -237,6 +262,7 @@ class TransformerEncoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                seq_shard=self.seq_shard,
                 name=f"layers_{i}",
             )(x, bias, deterministic)
         return x

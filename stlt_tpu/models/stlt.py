@@ -164,6 +164,9 @@ class StltBackbone(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas=cfg.use_pallas,
+            # Token axis = frame axis: ring attention applies when a
+            # context-parallel mesh is active (ops/ring.py).
+            seq_shard=True,
             remat=cfg.remat,
             name="transformer",
         )(embeddings, bias, deterministic=deterministic)  # [B, F, H]

@@ -85,6 +85,27 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS))
 
 
+# --- active-mesh registry ----------------------------------------------------
+# Ring attention (ops/ring.py) runs via shard_map and needs the concrete Mesh
+# object; flax modules only carry configs. compile_steps registers the mesh it
+# jits against; modules consult it and fall back to gather-based attention
+# when no mesh (or no context axis) is active — e.g. during model.init.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_context_mesh() -> Optional[Mesh]:
+    """The active mesh iff it has a >1 context axis (else None)."""
+    mesh = _ACTIVE_MESH
+    if mesh is not None and mesh.shape.get(CONTEXT_AXIS, 1) > 1:
+        return mesh
+    return None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim over the data axis, everything else replicated."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -70,6 +70,9 @@ def predict(args):
     )
     model = models_factory[args.model_name](model_config)
     template_batch = make_template_batch(dataset, args.dataset_type, data_cfg)
+    from stlt_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)  # init is eager; ring attention only under jit
     params = model.init(
         jax.random.PRNGKey(0), model_inputs_template(template_batch)
     )["params"]

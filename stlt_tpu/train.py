@@ -169,6 +169,11 @@ def train(args):
     # item of the Loader iterator would strand its producer thread holding
     # prefetched batches for the whole run).
     template_batch = make_template_batch(val_dataset, args.dataset_type, val_cfg)
+    # init runs eagerly — make sure no stale context mesh routes attention
+    # through the ring path (compile_steps re-registers the mesh below).
+    from stlt_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)
     params = model.init(
         jax.random.PRNGKey(args.seed), model_inputs_template(template_batch)
     )["params"]

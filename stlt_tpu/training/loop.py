@@ -150,6 +150,12 @@ def compile_steps(
     ``batch_template`` (any batch dict) enables per-key shardings — required
     when the mesh has a context (sequence-parallel) axis.
     """
+    # Register the mesh so seq_shard attention layers can run the ppermute
+    # ring (ops/ring.py) when a context axis is present.
+    from stlt_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(mesh)
+
     if batch_template is not None:
         batch_shard = batch_shardings(mesh, batch_template)
     else:
