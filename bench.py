@@ -1,51 +1,54 @@
-"""Throughput benchmark: STLT layout-clips/sec on one chip.
+"""Throughput benchmarks on one chip — a reproducible workload matrix.
 
-Workload = the reference's defining config (SURVEY.md §6): STLT with hidden
-768, 12 heads, 4 spatial + 8 temporal layers, 16 layout frames (+ extract),
-8 box tokens/frame, 174 classes — eval forward (the serving path), bf16
-compute, batch-size sweep. North star: ≥5k layout-clips/sec/chip on TPU v5e
-(BASELINE.json). vs_baseline = clips_per_sec / 5000.
+    python bench.py                         # headline: stlt_eval
+    python bench.py --workload stlt_train   # REAL CLI train loop, B=512
+    python bench.py --workload cacnf        # full multimodal eval fwd
+    python bench.py --workload long_context # 256-frame STLT eval fwd
+    python bench.py --workload all          # one JSON line each
+
+Workloads (reference-defining configs, SURVEY.md §6):
+
+- ``stlt_eval``: STLT hidden 768 / 12 heads / 4+8 layers, 17 frames × 8 box
+  tokens, 174 classes, bf16 + Pallas, batch 1024. North star ≥5k
+  clips/sec/chip (BASELINE.json); vs_baseline = clips/sec ÷ 5000.
+- ``stlt_train``: the ACTUAL ``stlt_tpu.train`` epoch loop (host loader +
+  device_prefetch + donated jit train step + device-side loss accumulation)
+  on a synthetic on-disk dataset at batch 512, dropout on. Reported from the
+  post-compile epoch. vs_baseline = clips/sec ÷ 5000 (same north star).
+- ``cacnf``: full multimodal eval forward (R3D-50 over 32×112² RGB + layout
+  branch + fusion + 4 heads), batch 64.
+- ``long_context``: STLT eval at 256 layout frames (+ extract) — the
+  position table's ceiling, no subsampling — batch 64, blockwise kernel.
 
 Measurement note: this environment reaches the TPU through a relay where
-``block_until_ready`` returns before the device finishes, and a host fetch
-costs ~70ms RTT. So we time a *dependency-chained* scan of K forwards inside
-ONE jit call (the chain defeats CSE/hoisting; each iteration perturbs the
-input by a function of the previous output), fetch one scalar, and report
-(t(K) - t(1)) / (K - 1) per forward. Calibration: the same method measures a
-4096³ bf16 matmul at ~193 TFLOP/s — v5e peak — so the timing is sound.
+``block_until_ready`` returns before the device finishes and a host fetch
+costs ~70ms RTT. Forward workloads time a back-to-back dispatch chain and
+fetch one scalar from the LAST output (single-device execution is in-order,
+so the fetch bounds the chain); per-forward time = (t_long - t_short) /
+(n_long - n_short) cancels RTT + dispatch overhead. Calibration: the same
+method measures a 4096³ bf16 matmul at ~193 TFLOP/s — v5e peak. The train
+workload needs no chain: the epoch's device-side loss list is fetched once
+at the epoch boundary, which bounds every step the same way.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per workload:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from __graft_entry__ import _synthetic_layout_batch
-from stlt_tpu.configs import StltModelConfig
-from stlt_tpu.models import models_factory
 
-NORTH_STAR = 5000.0  # clips/sec/chip
+NORTH_STAR = 5000.0  # layout-clips/sec/chip (BASELINE.md)
 
 
-def bench_batch_size(model, params, batch_size, n_short=2, n_long=18):
-    """Dispatch n forwards back-to-back on the device stream and fetch one
-    scalar from the LAST output (executions on a single device are in-order,
-    so the fetch bounds them all). Per-forward time = (t_long - t_short) /
-    (n_long - n_short) — the tunnel RTT and dispatch overhead cancel. Only
-    one executable is compiled."""
-    batch = _synthetic_layout_batch(batch_size, 17, 8, 4)
-    inputs = jax.device_put({k: v for k, v in batch.items() if k != "labels"})
-
-    @jax.jit
-    def forward(params, inputs):
-        return model.apply({"params": params}, inputs)["stlt"][0, 0]
-
+def _chain_time(forward, params, inputs, n_short=2, n_long=18, reps=3):
     _ = np.asarray(forward(params, inputs))  # compile + warm
 
     def timed(n):
@@ -56,16 +59,29 @@ def bench_batch_size(model, params, batch_size, n_short=2, n_long=18):
         return time.perf_counter() - t0
 
     timed(1)  # warm the fetch path
-    t_short = min(timed(n_short) for _ in range(3))
-    t_long = min(timed(n_long) for _ in range(3))
-    per_forward = max((t_long - t_short) / (n_long - n_short), 1e-9)
-    return batch_size / per_forward
+    t_short = min(timed(n_short) for _ in range(reps))
+    t_long = min(timed(n_long) for _ in range(reps))
+    return max((t_long - t_short) / (n_long - n_short), 1e-9)
 
 
-def main():
-    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+def _eval_clips_per_sec(model, batch, batch_size, head):
+    inputs = jax.device_put({k: v for k, v in batch.items() if k != "labels"})
+    params = model.init(
+        jax.random.PRNGKey(0), {k: v for k, v in batch.items() if k != "labels"}
+    )["params"]
+    params = jax.device_put(params)
 
-    enable_compilation_cache()
+    @jax.jit
+    def forward(params, inputs):
+        return model.apply({"params": params}, inputs)[head][0, 0]
+
+    return batch_size / _chain_time(forward, params, inputs)
+
+
+def bench_stlt_eval():
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
     config = StltModelConfig(
         num_classes=174,
         unique_categories=4,
@@ -77,26 +93,162 @@ def main():
         use_pallas=True,  # fused attention + bf16 tanh-GELU: 6408 -> 9876 clips/s
     )
     model = models_factory["stlt"](config)
-    init_batch = _synthetic_layout_batch(8, 17, 8, 4)
-    params = model.init(
-        jax.random.PRNGKey(0), {k: v for k, v in init_batch.items() if k != "labels"}
-    )["params"]
-    params = jax.device_put(params)
-
-    # One batch size: remote compiles are expensive (~30-60s each through the
-    # tunnel); 1024 saturates the chip for this model.
-    best_bs = 1024
-    best = bench_batch_size(model, params, best_bs)
-    print(
-        json.dumps(
-            {
-                "metric": f"stlt_eval_clips_per_sec_chip (bf16+pallas, batch {best_bs})",
-                "value": round(best, 1),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(best / NORTH_STAR, 3),
-            }
-        )
+    bs = 1024
+    clips = _eval_clips_per_sec(
+        model, _synthetic_layout_batch(bs, 17, 8, 4), bs, "stlt"
     )
+    return {
+        "metric": f"stlt_eval_clips_per_sec_chip (bf16+pallas, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
+def bench_long_context():
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
+    config = StltModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        layout_num_frames=257,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](config)
+    bs = 64
+    clips = _eval_clips_per_sec(
+        model, _synthetic_layout_batch(bs, 257, 8, 4), bs, "stlt"
+    )
+    return {
+        "metric": f"stlt_eval_256frames_clips_per_sec_chip (bf16+pallas, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
+def bench_cacnf():
+    from stlt_tpu.configs import MultimodalModelConfig
+    from stlt_tpu.models import models_factory
+
+    config = MultimodalModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        num_appearance_layers=4,
+        num_fusion_layers=4,
+        appearance_num_frames=32,
+        resnet_model_path="unused",
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["cacnf"](config)
+    bs = 64
+    rng = np.random.default_rng(0)
+    batch = _synthetic_layout_batch(bs, 17, 8, 4)
+    batch["video_frames"] = rng.normal(0, 1, (bs, 32, 112, 112, 3)).astype(np.float32)
+    clips = _eval_clips_per_sec(model, batch, bs, "ensemble")
+    return {
+        "metric": f"cacnf_eval_clips_per_sec_chip (bf16+pallas, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
+def bench_stlt_train():
+    """The REAL CLI loop: stlt_tpu.train epoch over a synthetic on-disk
+    dataset — loader + prefetch + donated jit step + device-side loss
+    accumulation. Clips/sec read from the post-compile epoch."""
+    import logging
+    import tempfile
+
+    from stlt_tpu.parser import build_parser
+    from stlt_tpu.train import train
+    from tests.fixtures import make_something_fixture
+
+    bs, n_videos = 512, 4096
+    with tempfile.TemporaryDirectory() as tmpdir:
+        paths, *_ = make_something_fixture(tmpdir, num_videos=n_videos, seed=0)
+        argv = [
+            "--dataset_name", "something",
+            "--dataset_type", "layout",
+            "--model_name", "stlt",
+            "--train_dataset_path", paths["dataset_path"],
+            "--val_dataset_path", paths["dataset_path"],
+            "--labels_path", paths["labels_path"],
+            "--videoid2size_path", paths["videoid2size_path"],
+            "--batch_size", str(bs),
+            "--epochs", "3",
+            "--warmup_epochs", "1",
+            "--learning_rate", "1e-4",
+            "--compute_dtype", "bfloat16",
+            "--use_pallas",
+            "--num_workers", "2",
+            "--save_model_path", f"{tmpdir}/best.msgpack",
+        ]
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        root = logging.getLogger()
+        root.setLevel(logging.INFO)
+        handler = Grab()
+        root.addHandler(handler)
+        try:
+            train(build_parser("bench").parse_args(argv))
+        finally:
+            root.removeHandler(handler)
+
+    # "Epoch N: train loss L (S steps, T s)" — epoch 1 pays the compile;
+    # report the best post-compile epoch.
+    rates = []
+    for msg in records:
+        if "train loss" in msg:
+            steps = int(msg.split("(")[1].split(" steps")[0])
+            secs = float(msg.split("steps, ")[1].split("s)")[0])
+            rates.append(steps * bs / max(secs, 1e-9))
+    assert len(rates) >= 2, records
+    clips = max(rates[1:])
+    return {
+        "metric": f"stlt_train_clips_per_sec_chip (REAL CLI loop, bf16+pallas, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
+WORKLOADS = {
+    "stlt_eval": bench_stlt_eval,
+    "stlt_train": bench_stlt_train,
+    "cacnf": bench_cacnf,
+    "long_context": bench_long_context,
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--workload", default="stlt_eval", choices=[*WORKLOADS, "all"],
+    )
+    args = parser.parse_args()
+    from stlt_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+    for name in names:
+        print(json.dumps(WORKLOADS[name]()), flush=True)
 
 
 if __name__ == "__main__":

@@ -177,19 +177,23 @@ def train(args):
     params = model.init(
         jax.random.PRNGKey(args.seed), model_inputs_template(template_batch)
     )["params"]
-    if args.load_backbone_path:
-        # Backbone-only load (reference StltBackbone.from_pretrained,
-        # models.py:130-134).
-        params["backbone"] = ckpt.load_params(
-            args.load_backbone_path, params["backbone"]
-        )
-        logging.info("Loaded backbone from %s", args.load_backbone_path)
     if args.resnet_model_path:
         # Kinetics R3D-50 init (reference Resnet3D.__init__, models.py:201-204).
+        # Order matters: Kinetics init happens at module CONSTRUCTION in the
+        # reference, so a loaded backbone must override it — not the reverse.
         from stlt_tpu.utils.convert import load_kinetics_r3d
 
         params = load_kinetics_r3d(params, args.resnet_model_path)
         logging.info("Loaded Kinetics R3D from %s", args.resnet_model_path)
+    if args.load_backbone_path:
+        # Backbone-only load (reference StltBackbone.from_pretrained,
+        # models.py:130-134; fusion models load the whole
+        # CrossAttentionFusionBackbone — the path that is a latent
+        # AttributeError upstream, models.py:509-512).
+        params["backbone"] = ckpt.load_params(
+            args.load_backbone_path, params["backbone"]
+        )
+        logging.info("Loaded backbone from %s", args.load_backbone_path)
 
     criterion = make_criterion(args.dataset_name)
     num_batches = len(train_dataset) // args.batch_size
