@@ -118,15 +118,22 @@ def inference(args):
         len(test_dataset), num_classes, model.logit_names
     )
     logging.info("Starting inference...")
+    count_path = hasattr(evaluator, "process_counts")
     for batch in device_prefetch(
         loader, steps.batch_sharding, global_batch_size=args.batch_size
     ):
-        logits = steps.eval_step(params, batch)
-        evaluator.process(
-            {k: np.asarray(v) for k, v in logits.items()},
-            steps.to_host(batch["labels"]),
-            valid=steps.to_host(batch["valid"]),
-        )
+        if count_path:
+            # On-device top-k accumulation: two ints per head per batch.
+            evaluator.process_counts(
+                jax.device_get(steps.eval_counts_step(params, batch))
+            )
+        else:
+            logits = steps.eval_step(params, batch)
+            evaluator.process(
+                {k: np.asarray(v) for k, v in logits.items()},
+                steps.to_host(batch["labels"]),
+                valid=steps.to_host(batch["valid"]),
+            )
     metrics = evaluator.evaluate()
     logging.info("=================================")
     logging.info("The metrics are:")

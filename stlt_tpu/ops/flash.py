@@ -84,8 +84,12 @@ def _pick_row_block(rows: int, t: int, s: int, d: int) -> int:
     return rb
 
 
-# Sequences at or above this length take the blockwise (KV-loop) kernel.
-_BLOCKWISE_MIN_SEQ = 129
+# Sequences above this take the blockwise (KV-loop) kernel. Below it the
+# fully-fused kernel wins: a [T, S] f32 probability tile still fits VMEM
+# comfortably (513² x 4B ≈ 1 MB) and blockwise's pad-to-128 on BOTH axes
+# wastes real compute at non-multiple lengths (e.g. 257→384 = 2.2x; measured
+# 370 vs 509 clips/s on the 256-frame workload before this threshold).
+_BLOCKWISE_MIN_SEQ = 513
 _Q_BLOCK = 128
 _KV_BLOCK = 128
 _NEG_INF = -1e30  # finite: exp(-1e30 - m) == 0 without inf-inf NaNs
@@ -159,7 +163,14 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0):
     scale = 1.0 / (D ** 0.5)
     out_dtype = vt.dtype
 
-    tb, sb = min(_Q_BLOCK, T), min(_KV_BLOCK, S)
+    # Q blocks need only sublane (x8) alignment, so pick the multiple-of-8
+    # size minimizing row padding (largest such block on ties); KV blocks
+    # are the lane dim of the bias/mask tiles and must stay x128.
+    sb = min(_KV_BLOCK, S)
+    tb = min(
+        range(8, _Q_BLOCK + 1, 8),
+        key=lambda t: (-(T // -t) * t - T, -t),  # (ceil-pad waste, prefer big)
+    )
     # Pad to block multiples: padded KV columns get large-negative bias
     # (contribute exp(·)=0); padded Q rows get bias 0 (garbage rows, sliced
     # off after the call — never NaN because l ≥ exp(0) > 0).

@@ -60,31 +60,38 @@ def params_shardings(mesh: Mesh, params: Any) -> Any:
 
 
 def tree_shardings_like(mesh: Mesh, tree: Any, params_sharding_tree: Any) -> Any:
-    """Sharding for an arbitrary pytree (e.g. optax state): leaves that mirror
-    a param (same path suffix is not reliable — match by array shape identity
-    is also not reliable) — so we take the simple, correct route: optax states
-    for adamw are pytrees *containing* param-shaped trees; we map any subtree
-    that structurally equals the params tree to the params shardings, and
-    replicate everything else."""
-    params_struct = jax.tree_util.tree_structure(params_sharding_tree)
+    """Sharding for an arbitrary pytree (optax state): PATH-SUFFIX matching.
 
-    def convert(node):
-        try:
-            if jax.tree_util.tree_structure(node) == params_struct:
-                return params_sharding_tree
-        except Exception:
-            pass
-        return None
+    Optimizer states embed param-shaped subtrees (adamw's mu/nu, sgd's
+    trace, ...) as nested dicts whose key paths end with the parameter's own
+    path. For every leaf we take its trailing run of dict keys and look up
+    the longest suffix that is a full parameter path; matches get the
+    parameter's sharding, everything else (counts, schedule scalars,
+    MaskedNodes) replicates.
 
-    def walk(node):
-        mapped = convert(node)
-        if mapped is not None:
-            return mapped
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            walked = [walk(v) for v in node]
-            return type(node)(walked) if not hasattr(node, "_fields") else type(node)(*walked)
-        return NamedSharding(mesh, P())
+    This is robust to the optax chain's structure — wrapping with masked /
+    multi_transform / inject_hyperparams, adding transforms, or reordering
+    the chain cannot silently replicate the moments the way the previous
+    whole-tree structural-equality walk could (e.g. MaskedNode leaves used
+    to break the equality and fall back to replicated)."""
+    flat_params = traverse_util.flatten_dict(params_sharding_tree)
+    replicated = NamedSharding(mesh, P())
 
-    return walk(tree)
+    def leaf_sharding(path) -> NamedSharding:
+        keys = []
+        for entry in reversed(path):
+            if isinstance(entry, jax.tree_util.DictKey):
+                keys.append(str(entry.key))
+            else:
+                break
+        suffix = tuple(reversed(keys))
+        while suffix:
+            if suffix in flat_params:
+                return flat_params[suffix]
+            suffix = suffix[1:]
+        return replicated
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaf_sharding(path) for path, _ in flat]
+    )

@@ -272,17 +272,25 @@ def train(args):
             "Epoch %d: train loss %.6f (%d steps, %.1fs)",
             epoch + 1, epoch_loss, seen, time.time() - epoch_start,
         )
-        # Validation
+        # Validation. Something-style evaluators accumulate top-k counts ON
+        # DEVICE (two ints/head/batch over the link); Action Genome needs the
+        # full sigmoid predictions host-side for Charades mAP.
         evaluator.reset()
+        count_path = hasattr(evaluator, "process_counts")
         for batch in device_prefetch(
             val_loader, steps.batch_sharding, global_batch_size=args.batch_size
         ):
-            logits = steps.eval_step(state.params, batch)
-            evaluator.process(
-                {k: np.asarray(v) for k, v in logits.items()},
-                steps.to_host(batch["labels"]),
-                valid=steps.to_host(batch["valid"]),
-            )
+            if count_path:
+                evaluator.process_counts(
+                    jax.device_get(steps.eval_counts_step(state.params, batch))
+                )
+            else:
+                logits = steps.eval_step(state.params, batch)
+                evaluator.process(
+                    {k: np.asarray(v) for k, v in logits.items()},
+                    steps.to_host(batch["labels"]),
+                    valid=steps.to_host(batch["valid"]),
+                )
         metrics = evaluator.evaluate()
         if evaluator.is_best():
             logging.info("=================================")

@@ -49,6 +49,15 @@ class EvaluatorSomething:
             self.corrects[f"{name}_top1"] += int((top1 & valid).sum())
             self.corrects[f"{name}_top5"] += int((top5 & valid).sum())
 
+    def process_counts(self, counts: Dict[str, Tuple[int, int]]):
+        """Streaming path for on-device accumulated (top1, top5) correct
+        counts (loop.make_eval_counts_step) — two ints per head per batch
+        instead of [B, C] logits."""
+        for name in self.logit_names:
+            top1, top5 = counts[name]
+            self.corrects[f"{name}_top1"] += int(top1)
+            self.corrects[f"{name}_top5"] += int(top5)
+
     def evaluate(self) -> Dict[str, float]:
         metrics = {}
         for name in self.logit_names:

@@ -107,6 +107,41 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
+def make_eval_counts_step(model) -> Callable:
+    """Forward + ON-DEVICE top-1/top-5 correct counts (Something metrics).
+
+    The host fetches two ints per head per batch instead of the full [B, C]
+    f32 logits — the difference matters through this environment's ~70ms-RTT
+    device link, and in multi-process runs the counts come back replicated
+    so every process reads them locally (SURVEY.md §5 metrics row).
+    """
+
+    def eval_counts_step(params: Any, batch: Dict[str, jnp.ndarray]):
+        model_inputs = {
+            k: v for k, v in batch.items() if k not in ("labels", "valid")
+        }
+        logits = model.apply({"params": params}, model_inputs, deterministic=True)
+        labels = batch["labels"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(labels.shape, bool)
+        counts = {}
+        for name, arr in logits.items():
+            k = min(5, arr.shape[-1])
+            top1 = (jnp.argmax(arr, axis=-1) == labels) & valid
+            # lax.top_k: ties break toward lower index, same as torch.topk
+            # (reference evaluation.py:25-34).
+            _, top_idx = jax.lax.top_k(arr, k)
+            top5 = jnp.any(top_idx == labels[:, None], axis=-1) & valid
+            counts[name] = (
+                top1.sum().astype(jnp.int32),
+                top5.sum().astype(jnp.int32),
+            )
+        return counts
+
+    return eval_counts_step
+
+
 @dataclasses.dataclass
 class CompiledSteps:
     mesh: Mesh
@@ -115,6 +150,7 @@ class CompiledSteps:
     batch_sharding: Any  # per-key dict when batch_template given, else one sharding
     train_step: Optional[Callable]
     eval_step: Callable
+    eval_counts_step: Optional[Callable] = None
     replicated_sharding: Any = None
     _replicate: Optional[Callable] = None
 
@@ -190,6 +226,13 @@ def compile_steps(
         out_shardings=replicated,
     )
 
+    # jit is lazy — nothing compiles unless a caller actually uses it.
+    eval_counts_step = jax.jit(
+        make_eval_counts_step(model),
+        in_shardings=(p_shard, batch_shard),
+        out_shardings=replicated,
+    )
+
     return CompiledSteps(
         mesh=mesh,
         state_sharding=state_sharding,
@@ -197,6 +240,7 @@ def compile_steps(
         batch_sharding=batch_shard,
         train_step=train_step,
         eval_step=eval_step,
+        eval_counts_step=eval_counts_step,
         replicated_sharding=replicated,
         _replicate=jax.jit(lambda x: x, out_shardings=replicated),
     )

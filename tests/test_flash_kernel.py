@@ -166,6 +166,24 @@ def test_remat_outputs_and_grads_match():
 # --- blockwise (KV-loop) long-context kernel --------------------------------
 
 
+def _blockwise_direct(q, k, v, bias=None):
+    """Invoke the KV-loop kernel regardless of the dispatch threshold."""
+    from stlt_tpu.ops.flash import _blockwise_forward
+
+    B, T, N, D = q.shape
+    S = k.shape[1]
+    if bias is None:
+        bias = jnp.zeros((1, 1, T, S), jnp.float32)
+    while bias.ndim < 4:
+        bias = bias[None]
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, bias.shape[1], T, S))
+    out = _blockwise_forward(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        bias,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 @pytest.mark.parametrize(
     "B,T,S,N,D",
     [
@@ -177,7 +195,7 @@ def test_remat_outputs_and_grads_match():
 def test_blockwise_kernel_matches_reference(B, T, S, N, D):
     rng = np.random.default_rng(5)
     q, k, v = _rand_qkv(rng, B, T, S, N, D)
-    got = flash_attention(q, k, v)
+    got = _blockwise_direct(q, k, v)
     want = dot_product_attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
@@ -189,20 +207,22 @@ def test_blockwise_kernel_causal_padding_bias():
     pad = np.zeros((B, T), bool)
     pad[:, -50:] = True
     bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
-    got = flash_attention(q, k, v, bias)
+    got = _blockwise_direct(q, k, v, bias)
     want = dot_product_attention_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
-def test_blockwise_kernel_bf16_and_grads():
+def test_blockwise_kernel_bf16_and_dispatched_grads():
     rng = np.random.default_rng(7)
     B, T, N, D = 1, 256, 2, 16
     q, k, v = _rand_qkv(rng, B, T, T, N, D, dtype=jnp.bfloat16)
-    got = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(_blockwise_direct(q, k, v)).astype(np.float32)
     want = np.asarray(dot_product_attention_reference(q, k, v)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
-    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    # gradients through the public entry at a blockwise-dispatched length
+    T = 520
+    qf, kf, vf = _rand_qkv(rng, 1, T, T, 1, 8)
     bias = masks.causal_bias(T)
     gk = jax.grad(lambda a, b, c: flash_attention(a, b, c, bias).sum(), (0, 1, 2))(qf, kf, vf)
     gr = jax.grad(

@@ -122,3 +122,75 @@ def test_context_parallel_eval_matches():
     shardings = batch_shardings(mesh, batch)
     assert shardings["categories"].spec == P("data", "context")
     assert shardings["labels"].spec == P("data")
+
+
+def test_opt_state_shardings_path_based(tiny_setup):
+    """tree_shardings_like must TP-shard adamw moments through masked/
+    multi_transform wrappers (path-suffix matching, not structural equality),
+    and replicate scalars/MaskedNodes. VERDICT r1 #10 / ADVICE r1 #2."""
+    import optax
+
+    from stlt_tpu.parallel.sharding import params_shardings, tree_shardings_like
+    from jax.sharding import PartitionSpec
+
+    model, params, batch = tiny_setup
+    mesh = make_mesh(2)
+    p_shard = params_shardings(mesh, params)
+
+    # A DIFFERENT chain than the production one: masked sgd-momentum +
+    # inject_hyperparams-wrapped adamw.
+    flat = jax.tree_util.tree_map(lambda _: True, params)
+    tx = optax.chain(
+        optax.masked(optax.sgd(1e-3, momentum=0.9), flat),
+        optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3),
+    )
+    opt_state = tx.init(params)
+    shardings = tree_shardings_like(mesh, opt_state, p_shard)
+
+    flat_shard, _ = jax.tree_util.tree_flatten_with_path(shardings)
+    def dict_key(entry):
+        return entry.key if isinstance(entry, jax.tree_util.DictKey) else None
+
+    tp_specs = [
+        s.spec for path, s in flat_shard
+        if any(dict_key(p) == "q_proj" for p in path)
+        and dict_key(path[-1]) == "kernel"
+    ]
+    # sgd trace + adamw mu + adamw nu for every q_proj kernel
+    assert tp_specs, "no q_proj kernel leaves found in opt state"
+    assert all(s == PartitionSpec(None, "model") for s in tp_specs), tp_specs
+
+    # and the whole thing actually runs as a train step
+    from stlt_tpu.training.criterion import make_criterion
+
+    criterion = make_criterion("something")
+    # deep-copy: the donated train step would delete the module-scoped params
+    run_params = jax.tree_util.tree_map(np.array, params)
+    state = create_train_state(run_params, tx)
+    steps = compile_steps(mesh, model, tx, criterion, state=state)
+    state = jax.device_put(state, steps.state_sharding)
+    state, loss = steps.train_step(state, batch, np.uint32(3))
+    assert np.isfinite(float(loss))
+
+
+def test_eval_counts_step_matches_host_evaluator(tiny_setup):
+    """On-device top-1/top-5 accumulation == the host logits path."""
+    from stlt_tpu.training.evaluation import EvaluatorSomething
+
+    model, params, batch = tiny_setup
+    batch = dict(batch)
+    batch["valid"] = np.array([True] * 6 + [False] * 2)
+    mesh = make_mesh(2)
+    steps = compile_steps(mesh, model, params_template=params, batch_template=batch)
+    sharded = jax.device_put(params, steps.params_sharding)
+
+    host = EvaluatorSomething(6, 7, model.logit_names)
+    logits = steps.eval_step(sharded, batch)
+    host.process(
+        {k: np.asarray(v) for k, v in logits.items()},
+        batch["labels"], valid=batch["valid"],
+    )
+
+    device = EvaluatorSomething(6, 7, model.logit_names)
+    device.process_counts(jax.device_get(steps.eval_counts_step(sharded, batch)))
+    assert device.evaluate() == host.evaluate()
