@@ -28,6 +28,7 @@ Padding masks are derived *inside the model* from ``categories == 0`` and
 from __future__ import annotations
 
 import json
+import logging
 import re
 from typing import Dict, List, Optional
 
@@ -42,7 +43,11 @@ _TEMPLATE_BRACKETS = re.compile(r"[\[\]]")
 
 def scan_max_objects(json_file: List[dict], score_threshold: float) -> int:
     """Max number of score-thresholded objects in any frame
-    (reference datasets.py:38-47)."""
+    (reference datasets.py:38-47).
+
+    Unlike the reference (which silently returns its -1 sentinel and
+    explodes later with shape errors), an empty or fully-thresholded-out
+    dataset raises with a diagnosis here."""
     max_objects = -1
     for video in json_file:
         for frame in video["frames"]:
@@ -50,6 +55,16 @@ def scan_max_objects(json_file: List[dict], score_threshold: float) -> int:
                 1 for obj in frame["frame_objects"] if obj["score"] >= score_threshold
             )
             max_objects = max(max_objects, count)
+    if max_objects < 0:
+        raise ValueError(
+            f"scan_max_objects: dataset has no frames at all across "
+            f"{len(json_file)} videos — empty dataset or wrong JSON schema"
+        )
+    if max_objects == 0:
+        logging.warning(
+            "scan_max_objects: no object passed score_threshold=%s in any "
+            "frame; clips will carry CLS tokens only", score_threshold,
+        )
     return max_objects
 
 

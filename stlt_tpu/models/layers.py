@@ -96,11 +96,21 @@ class MultiHeadAttention(nn.Module):
         H, N = self.hidden_size, self.num_heads
         assert H % N == 0
         D = H // N
-        # torch MHA in-projections: xavier_uniform kernels, zero bias.
+        # torch MHA in-projections: xavier_uniform over the STACKED
+        # [3H, H] in_proj_weight → bound sqrt(6/(H+3H)), narrower by sqrt(2)
+        # than per-matrix xavier on [H, H]. Matching the distribution keeps
+        # from-scratch training faithful (checkpoint loads are unaffected).
+        in_proj_bound = (6.0 / (4.0 * H)) ** 0.5
+
+        def stacked_xavier(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(
+                key, shape, dtype, minval=-in_proj_bound, maxval=in_proj_bound
+            )
+
         proj = lambda name: nn.Dense(
             H,
             dtype=self.dtype,
-            kernel_init=initializers.xavier_uniform(),
+            kernel_init=stacked_xavier,
             bias_init=initializers.zeros,
             name=name,
         )

@@ -111,4 +111,7 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="Orbax checkpoint dir for step checkpoints + resume.")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="If set, dump a jax.profiler trace of a few steps here.")
+    p.add_argument("--profile_window", type=str, default="10,15",
+                   help="START,STOP global steps for the profiler trace "
+                        "(with --profile_dir). Short runs: e.g. '1,3'.")
     return p

@@ -94,6 +94,17 @@ def train(args):
 
     enable_compilation_cache()
     setup_logging(args.log_filepath, coordinator=is_coordinator())
+    # Optional profiler trace of a few warm steps (SURVEY.md §5 tracing —
+    # the reference has only tqdm progress bars). Validated up front.
+    profile_window = None
+    if args.profile_dir:
+        start, stop = (int(x) for x in getattr(args, "profile_window", "10,15").split(","))
+        if not 0 <= start < stop:
+            raise ValueError(
+                f"--profile_window must be START,STOP with 0 <= START < STOP, "
+                f"got {args.profile_window!r}"
+            )
+        profile_window = (start, stop)
     logging.info("Devices: %s", jax.devices())
     if multiprocess:
         logging.info(
@@ -243,9 +254,6 @@ def train(args):
         len(val_dataset), num_classes, model.logit_names
     )
     logging.info("Starting training...")
-    # Optional profiler trace of a few warm steps (SURVEY.md §5 tracing —
-    # the reference has only tqdm progress bars).
-    profile_window = (10, 15) if args.profile_dir else None
     global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()

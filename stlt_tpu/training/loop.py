@@ -31,10 +31,19 @@ FRAME_AXIS_KEYS = ("categories", "boxes", "scores", "frame_types")
 
 
 def batch_shardings(mesh: Mesh, batch_template: Dict[str, Any]) -> Dict[str, NamedSharding]:
-    context = mesh.shape.get(CONTEXT_AXIS, 1) > 1
+    context = mesh.shape.get(CONTEXT_AXIS, 1)
     out = {}
     for key in batch_template:
-        if context and key in FRAME_AXIS_KEYS:
+        if context > 1 and key in FRAME_AXIS_KEYS:
+            frames = getattr(batch_template[key], "shape", (0, 0))[1]
+            if frames % context:
+                raise ValueError(
+                    f"context_parallel={context} does not divide the frame "
+                    f"axis ({key} has {frames} frames). The train/inference "
+                    "CLIs pad via DataConfig.frames_multiple; non-CLI "
+                    "callers must pad the frame axis to a multiple of the "
+                    "context axis themselves."
+                )
             out[key] = NamedSharding(mesh, P(DATA_AXIS, CONTEXT_AXIS))
         else:
             out[key] = NamedSharding(mesh, P(DATA_AXIS))

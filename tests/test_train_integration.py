@@ -74,7 +74,7 @@ def test_train_loss_decreases_over_longer_run(tmp_path):
     )
     args = make_args(
         tmpdir, paths,
-        epochs=25, learning_rate="2e-3", model_parallel=1, hidden_dropout_prob="0.0",
+        epochs=30, learning_rate="3e-3", model_parallel=1, hidden_dropout_prob="0.0",
     )
 
     records = []
@@ -92,7 +92,7 @@ def test_train_loss_decreases_over_longer_run(tmp_path):
         for m in records
         if "train loss" in m
     ]
-    assert len(losses) == 25
+    assert len(losses) == 30
     # stochastic frame re-sampling + dropout make per-epoch loss noisy;
     # compare the mean of the first vs last five epochs
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.85, losses
