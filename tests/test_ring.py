@@ -105,3 +105,63 @@ def test_stlt_eval_ring_matches_unsharded():
         p = jax.device_put(params, steps.params_sharding)
         outs[context] = np.asarray(steps.eval_step(p, batch)["stlt"])
     np.testing.assert_allclose(outs[2], outs[1], atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ring_train_step_uses_less_memory_at_long_context():
+    """VERDICT r1 #3 done-when (b): at 256+1 frames with the SAME per-device
+    clip count, the context=2 train step's compiled per-device temp memory is
+    lower than context=1 (ring shards the temporal stack's stored
+    activations; eval is spatial-stage-dominated and roughly equal)."""
+    from __graft_entry__ import _synthetic_layout_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.parallel.sharding import params_shardings, tree_shardings_like
+    from stlt_tpu.training.criterion import make_criterion
+    from stlt_tpu.training.loop import (
+        TrainState,
+        batch_shardings,
+        create_train_state,
+        make_train_step,
+    )
+    from stlt_tpu.training.optimizer import make_optimizer
+
+    cfg = StltModelConfig(
+        num_classes=174, unique_categories=4, hidden_size=768,
+        num_attention_heads=12, num_spatial_layers=4, num_temporal_layers=8,
+        layout_num_frames=258,
+    )
+    model = models_factory["stlt"](cfg)
+    batch = _synthetic_layout_batch(8, 258, 8, 4)
+    batch["valid"] = np.ones(8, bool)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    set_active_mesh(None)
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), inputs)["params"])
+    zeros = jax.tree.map(lambda a: np.zeros(a.shape, a.dtype), params)
+    tx = make_optimizer(zeros, learning_rate=1e-4, weight_decay=1e-3,
+                        clip_val=5.0, num_warmup_steps=2, num_training_steps=10)
+    state = jax.eval_shape(lambda: create_train_state(zeros, tx))
+    criterion = make_criterion("something")
+
+    temps = {}
+    for ctx, devs in ((1, jax.devices()[:4]), (2, jax.devices())):
+        mesh = make_mesh(model_parallel=1, context_parallel=ctx, devices=devs)
+        set_active_mesh(mesh if ctx > 1 else None)
+        p_shard = params_shardings(mesh, params)
+        rep = NamedSharding(mesh, P())
+        st_shard = TrainState(
+            step=rep, params=p_shard,
+            opt_state=tree_shardings_like(mesh, state.opt_state, p_shard),
+        )
+        f = jax.jit(
+            make_train_step(model, tx, criterion),
+            in_shardings=(st_shard, batch_shardings(mesh, batch), rep),
+            out_shardings=(st_shard, rep), donate_argnums=(0,),
+        )
+        analysis = f.lower(
+            state, batch, jax.ShapeDtypeStruct((), np.uint32)
+        ).compile().memory_analysis()
+        temps[ctx] = analysis.temp_size_in_bytes
+    # measured 3161 vs 3480 MB at time of writing (~9% lower)
+    assert temps[2] < temps[1], temps
