@@ -16,7 +16,7 @@ Workloads (reference-defining configs, SURVEY.md §6):
   on a synthetic on-disk dataset at batch 512, dropout on. Reported from the
   post-compile epoch. vs_baseline = clips/sec ÷ 5000 (same north star).
 - ``cacnf``: full multimodal eval forward (R3D-50 over 32×112² RGB + layout
-  branch + fusion + 4 heads), batch 64.
+  branch + fusion + 4 heads), batch 128.
 - ``long_context``: STLT eval at 256 layout frames (+ extract) — the
   position table's ceiling, no subsampling — batch 64, blockwise kernel.
 
@@ -152,7 +152,9 @@ def bench_cacnf():
         use_pallas=True,
     )
     model = models_factory["cacnf"](config)
-    bs = 64
+    # B=128 amortizes the small-op tail (LN chains, fusion layers at 17/33
+    # tokens): measured 1166 at B=64 vs 1502 at B=128 (round 2).
+    bs = 128
     rng = np.random.default_rng(0)
     batch = _synthetic_layout_batch(bs, 17, 8, 4)
     batch["video_frames"] = rng.normal(0, 1, (bs, 32, 112, 112, 3)).astype(np.float32)
