@@ -271,6 +271,19 @@ def _pick(kwargs, names):
     return {k: v for k, v in kwargs.items() if k in names and v is not None}
 
 
+def position_table_rows(data_config: DataConfig) -> int:
+    """Frame-position-table rows for a model driven by ``data_config``.
+
+    The reference hard-codes 256 (``src/modelling/configs.py:109`` — train.py
+    never passes it through) and breaks beyond 255 layout frames. We keep the
+    256 floor for drop-in checkpoint compatibility and GROW the table with the
+    padded frame axis when clips are longer — a TPU-native extension; loading
+    a 256-row checkpoint into a grown table resamples it
+    (``utils.convert.resize_position_table``).
+    """
+    return max(StltModelConfig.layout_num_frames, data_config.num_total_frames)
+
+
 def make_model_config(model_name: str, **kwargs):
     """Build the right config from a flat kwargs dict (reference
     model_configs_factory, src/modelling/configs.py:178-185)."""

@@ -19,7 +19,7 @@ import logging
 import jax
 import numpy as np
 
-from stlt_tpu.configs import category2id_for, make_model_config
+from stlt_tpu.configs import category2id_for, make_model_config, position_table_rows
 from stlt_tpu.data import collaters_factory, datasets_factory
 from stlt_tpu.data.loader import Loader
 from stlt_tpu.models import models_factory
@@ -70,6 +70,7 @@ def inference(args):
     model_config = make_model_config(
         args.model_name,
         num_classes=num_classes,
+        layout_num_frames=position_table_rows(data_cfg),
         unique_categories=len(category2id_for(args.dataset_name)),
         num_spatial_layers=args.num_spatial_layers,
         num_temporal_layers=args.num_temporal_layers,

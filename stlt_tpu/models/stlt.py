@@ -116,6 +116,12 @@ class FramesEmbeddings(nn.Module):
             batch, deterministic=deterministic
         )
         num_frames = frames.shape[1]
+        if num_frames > cfg.layout_num_frames:
+            raise ValueError(
+                f"clip has {num_frames} frames but the position table holds "
+                f"{cfg.layout_num_frames}; size the model config with "
+                f"configs.position_table_rows(data_config)"
+            )
         position_table = self.param(
             "position_embeddings",
             initializers.normal(1.0),  # torch nn.Embedding default N(0,1)

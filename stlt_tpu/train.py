@@ -27,7 +27,12 @@ import time
 import jax
 import numpy as np
 
-from stlt_tpu.configs import DataConfig, category2id_for, make_model_config
+from stlt_tpu.configs import (
+    DataConfig,
+    category2id_for,
+    make_model_config,
+    position_table_rows,
+)
 from stlt_tpu.data import collaters_factory, datasets_factory
 from stlt_tpu.data.loader import Loader, device_prefetch
 from stlt_tpu.models import models_factory
@@ -154,6 +159,7 @@ def train(args):
     model_config = make_model_config(
         args.model_name,
         num_classes=num_classes,
+        layout_num_frames=position_table_rows(val_cfg),
         appearance_num_frames=args.appearance_num_frames,
         unique_categories=len(category2id_for(args.dataset_name)),
         num_spatial_layers=args.num_spatial_layers,

@@ -48,7 +48,40 @@ def load_params(path: str, template: Any, *, strict: bool = True) -> Any:
             load_torch_state_dict(path), template, strict=strict
         )
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        restored = serialization.from_bytes(template, f.read())
+    return _reconcile_shapes(restored, template)
+
+
+def _reconcile_shapes(restored: Any, template: Any) -> Any:
+    """Validate restored leaf shapes against the model's template.
+
+    ``flax.serialization.from_bytes`` returns whatever shapes were stored —
+    without this check a stale checkpoint surfaces as an opaque jit error.
+    The one legal mismatch is the frame-position table, which is resampled
+    (``convert.resize_position_table``) so checkpoints trained at one clip
+    length load at another.
+    """
+    from flax import traverse_util
+
+    from stlt_tpu.utils.convert import _is_position_table, resize_position_table
+
+    flat = traverse_util.flatten_dict(serialization.to_state_dict(restored))
+    flat_tmpl = traverse_util.flatten_dict(serialization.to_state_dict(template))
+    out = {}
+    for path, leaf in flat.items():
+        got = np.asarray(leaf)
+        expected = np.asarray(flat_tmpl[path]).shape
+        if got.shape != tuple(expected):
+            if _is_position_table(path, got.shape, expected):
+                got = resize_position_table(got, expected[0])
+            else:
+                raise ValueError(
+                    f"checkpoint shape mismatch at {'/'.join(path)}: "
+                    f"stored {got.shape} vs model {tuple(expected)}"
+                )
+        out[path] = got
+    restored_tree = traverse_util.unflatten_dict(out)
+    return serialization.from_state_dict(template, restored_tree)
 
 
 # --- Orbax step checkpoints (resume support; no reference counterpart) ------

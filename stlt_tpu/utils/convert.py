@@ -199,8 +199,48 @@ def torch_to_flax_params(
             continue
         expected = np.asarray(template).shape
         if tuple(arr.shape) != tuple(expected):
-            raise ValueError(
-                f"shape mismatch at {'/'.join(path)}: torch {arr.shape} vs flax {expected}"
-            )
+            if _is_position_table(path, arr.shape, expected):
+                # Checkpoint trained at a different clip length: resample the
+                # learned frame-position table (see resize_position_table).
+                arr = resize_position_table(arr, expected[0])
+            else:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}: torch {arr.shape} vs flax {expected}"
+                )
         out[path] = arr.astype(np.asarray(template).dtype)
     return traverse_util.unflatten_dict(out)
+
+
+def _is_position_table(path: Tuple[str, ...], got, expected) -> bool:
+    """A [rows, H] frame-position table whose only mismatch is the row count."""
+    return (
+        path[-1] == "position_embeddings"
+        and len(got) == 2
+        and len(expected) == 2
+        and got[1] == expected[1]
+    )
+
+
+def resize_position_table(table: np.ndarray, rows: int) -> np.ndarray:
+    """Linearly resample a learned ``[rows_old, H]`` position table to ``rows``.
+
+    The reference pins the layout position table to 256 frames
+    (``src/modelling/configs.py:109``) and crashes beyond it; this framework
+    grows the table with the padded frame axis (``configs.position_table_rows``)
+    so >255-frame clips run. Checkpoints trained at one length load at another
+    via ViT-style align-corners linear interpolation over the frame index —
+    row 0 and the last row are preserved exactly.
+    """
+    table = np.asarray(table)
+    old = table.shape[0]
+    if old == rows:
+        return table
+    if old < 2:
+        raise ValueError(f"cannot resample a {old}-row position table")
+    # Fractional source index for each target row (endpoints align).
+    pos = np.linspace(0.0, float(old - 1), rows)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, old - 1)
+    frac = (pos - lo)[:, None].astype(np.float64)
+    out = table[lo].astype(np.float64) * (1.0 - frac) + table[hi].astype(np.float64) * frac
+    return out.astype(table.dtype)
