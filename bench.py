@@ -4,6 +4,7 @@
     python bench.py --workload stlt_train   # REAL CLI train loop, B=512
     python bench.py --workload cacnf        # full multimodal eval fwd
     python bench.py --workload long_context # 256-frame STLT eval fwd
+    python bench.py --workload long_context_512  # past the reference ceiling
     python bench.py --workload all          # one JSON line each
 
 Workloads (reference-defining configs, SURVEY.md §6):
@@ -133,6 +134,37 @@ def bench_long_context():
     }
 
 
+def bench_long_context_512():
+    """512 frames — BEYOND the reference's 256-frame position-table ceiling
+    (possible via configs.position_table_rows growth); dispatches the
+    blockwise KV-loop kernel (>512 tokens)."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
+    config = StltModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        layout_num_frames=513,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](config)
+    bs = 32
+    clips = _eval_clips_per_sec(
+        model, _synthetic_layout_batch(bs, 513, 8, 4), bs, "stlt"
+    )
+    return {
+        "metric": f"stlt_eval_512frames_clips_per_sec_chip (bf16+pallas, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
 def bench_cacnf():
     from stlt_tpu.configs import MultimodalModelConfig
     from stlt_tpu.models import models_factory
@@ -236,6 +268,7 @@ WORKLOADS = {
     "stlt_train": bench_stlt_train,
     "cacnf": bench_cacnf,
     "long_context": bench_long_context,
+    "long_context_512": bench_long_context_512,
 }
 
 
