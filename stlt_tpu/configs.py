@@ -131,6 +131,11 @@ class DataConfig:
     # host decode; pixels differ slightly from full decode + resize, so it
     # is opt-in (training-safe; keep off for strict eval parity).
     fast_decode: bool = False
+    # TPU extension: C++ decode/resize/jitter stage (native/jpeg_pipeline.cpp)
+    # — resize + color jitter are bit-identical to the PIL path (asserted in
+    # tests/test_native_jpeg.py); decode matches whenever PIL's bundled
+    # libjpeg matches the system one. Falls back to PIL when unbuildable.
+    native_decode: bool = False
 
     def __post_init__(self):
         if self.dataset_name not in DATASET_NAMES:

@@ -68,6 +68,25 @@ class AppearanceDataset:
             img.draft("RGB", (self._resize_to, self._resize_to))
         return resize_shorter_side(img.convert("RGB"), self._resize_to)
 
+    def _native_frames(self, group, indices) -> Optional[List[np.ndarray]]:
+        """Decode+resize every sampled frame via the C++ stage (uint8 HWC
+        arrays), or None to fall back to PIL (lib unavailable / bad frame)."""
+        from stlt_tpu.data.native_jpeg import decode_resize, native_jpeg_available
+
+        if not native_jpeg_available():
+            return None
+        frames = []
+        for i in indices:
+            arr = decode_resize(
+                np.asarray(group[str(i)]).tobytes(),
+                self._resize_to,
+                draft=self.config.fast_decode,
+            )
+            if arr is None:
+                return None
+            frames.append(arr)
+        return frames
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
         cfg = self.config
         if rng is None:
@@ -78,17 +97,43 @@ class AppearanceDataset:
         indices = sample_appearance_indices(
             cfg.appearance_num_frames, num_frames, cfg.train, rng=rng
         )
-        frames = [
-            self._load_frame(group, i)
-            for i in indices
-        ]
-        if cfg.train:
-            jitter = VideoColorJitter(rng)
-            top, left, h, w = random_crop_params(frames[0], cfg.spatial_size, rng)
-            frames = [crop(jitter(f), top, left, h, w) for f in frames]
+        native_frames = (
+            self._native_frames(group, indices) if cfg.native_decode else None
+        )
+        if native_frames is not None:
+            # C++ fast path: same RNG draw order as the PIL path below, so a
+            # given seed yields the same augmentation either way.
+            size = cfg.spatial_size
+            if cfg.train:
+                from stlt_tpu.data.native_jpeg import jitter_rgb
+
+                jitter = VideoColorJitter(rng)
+                top, left, h, w = random_crop_params(
+                    native_frames[0], size, rng
+                )
+                for f in native_frames:
+                    jitter_rgb(f, jitter)
+            else:
+                fh, fw = native_frames[0].shape[:2]
+                top = int(round((fh - size) / 2.0))
+                left = int(round((fw - size) / 2.0))
+                h = w = size
+            video = (
+                np.stack([f[top:top + h, left:left + w] for f in native_frames])
+                .astype(np.float32) / 127.5 - 1.0
+            )  # [T, S, S, 3]
         else:
-            frames = [center_crop(f, cfg.spatial_size) for f in frames]
-        video = np.stack([normalize_to_array(f) for f in frames])  # [T, S, S, 3]
+            frames = [
+                self._load_frame(group, i)
+                for i in indices
+            ]
+            if cfg.train:
+                jitter = VideoColorJitter(rng)
+                top, left, h, w = random_crop_params(frames[0], cfg.spatial_size, rng)
+                frames = [crop(jitter(f), top, left, h, w) for f in frames]
+            else:
+                frames = [center_crop(f, cfg.spatial_size) for f in frames]
+            video = np.stack([normalize_to_array(f) for f in frames])  # [T, S, S, 3]
         label = np.asarray(
             int(
                 self.labels[

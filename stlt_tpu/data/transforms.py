@@ -38,9 +38,14 @@ def resize_shorter_side(img: Image.Image, target: int) -> Image.Image:
 
 
 def random_crop_params(
-    img: Image.Image, size: int, rng: np.random.Generator
+    img, size: int, rng: np.random.Generator
 ) -> Tuple[int, int, int, int]:
-    w, h = img.size
+    """Shared-crop draw; accepts a PIL image or a uint8 [H, W, C] array
+    (the native decode path)."""
+    if isinstance(img, Image.Image):
+        w, h = img.size
+    else:
+        h, w = img.shape[:2]
     if w == size and h == size:
         return 0, 0, size, size
     top = int(rng.integers(0, h - size + 1))

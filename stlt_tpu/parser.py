@@ -94,6 +94,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--fast_decode", action="store_true",
                    help="JPEG DCT-scaled decode (~3x faster host path; "
                         "training-safe, slightly different pixels).")
+    p.add_argument("--native_decode", action="store_true",
+                   help="C++ JPEG decode/resize/jitter host stage (~2x faster "
+                        "appearance pipeline; resize+jitter bit-identical to PIL).")
     p.add_argument("--remat", action="store_true",
                    help="Per-layer activation rematerialization (larger train batches).")
     p.add_argument("--use_pallas", action="store_true",

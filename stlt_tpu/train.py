@@ -70,6 +70,7 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         spatial_size=args.spatial_size,
         frames_multiple=getattr(args, "context_parallel", 1),
         fast_decode=args.fast_decode,
+        native_decode=getattr(args, "native_decode", False),
     )
 
 
