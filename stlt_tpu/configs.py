@@ -136,6 +136,10 @@ class DataConfig:
     # tests/test_native_jpeg.py); decode matches whenever PIL's bundled
     # libjpeg matches the system one. Falls back to PIL when unbuildable.
     native_decode: bool = False
+    # TPU extension: ship uint8 crops and normalize on device (4× less
+    # host→device transfer for RGB batches); numerically identical — the
+    # model applies the same f32 mean/std-0.5 math the host would.
+    device_normalize: bool = False
 
     def __post_init__(self):
         if self.dataset_name not in DATASET_NAMES:

@@ -118,10 +118,11 @@ class AppearanceDataset:
                 top = int(round((fh - size) / 2.0))
                 left = int(round((fw - size) / 2.0))
                 h = w = size
-            video = (
-                np.stack([f[top:top + h, left:left + w] for f in native_frames])
-                .astype(np.float32) / 127.5 - 1.0
-            )  # [T, S, S, 3]
+            video = np.stack(
+                [f[top:top + h, left:left + w] for f in native_frames]
+            )  # [T, S, S, 3] uint8
+            if not cfg.device_normalize:
+                video = video.astype(np.float32) / 127.5 - 1.0
         else:
             frames = [
                 self._load_frame(group, i)
@@ -133,7 +134,11 @@ class AppearanceDataset:
                 frames = [crop(jitter(f), top, left, h, w) for f in frames]
             else:
                 frames = [center_crop(f, cfg.spatial_size) for f in frames]
-            video = np.stack([normalize_to_array(f) for f in frames])  # [T, S, S, 3]
+            if cfg.device_normalize:
+                # Ship uint8; the model normalizes on device (appearance.py).
+                video = np.stack([np.asarray(f, dtype=np.uint8) for f in frames])
+            else:
+                video = np.stack([normalize_to_array(f) for f in frames])  # [T, S, S, 3]
         label = np.asarray(
             int(
                 self.labels[

@@ -65,8 +65,15 @@ class Resnet3D(nn.Module):
         )
 
     def forward_features(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        frames = batch["video_frames"]
+        if frames.dtype == jnp.uint8:
+            # Host shipped raw uint8 crops (DataConfig.device_normalize —
+            # 4× less host→device bandwidth than f32); apply the pipeline's
+            # mean/std-0.5 normalization on device (transforms.py, reference
+            # datasets.py:196-197).
+            frames = frames.astype(jnp.float32) / 127.5 - 1.0
         # [B, T', H', W', 2048]
-        return self.resnet(batch["video_frames"])
+        return self.resnet(frames)
 
     def __call__(
         self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True

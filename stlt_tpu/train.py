@@ -71,6 +71,7 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         frames_multiple=getattr(args, "context_parallel", 1),
         fast_decode=args.fast_decode,
         native_decode=getattr(args, "native_decode", False),
+        device_normalize=getattr(args, "device_normalize", False),
     )
 
 
