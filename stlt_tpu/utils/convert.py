@@ -211,6 +211,137 @@ def torch_to_flax_params(
     return traverse_util.unflatten_dict(out)
 
 
+_SEQUENTIAL_RESNET_INV = {v: k for k, v in _SEQUENTIAL_RESNET.items()}
+_SEQ_INV_RE = __import__("re").compile(
+    r"(^|\.)resnet\.(conv1|bn1|layer1|layer2|layer3|layer4)\."
+)
+
+
+def _rewrap_sequential_resnet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of ``_unwrap_sequential_resnet``: the reference's ``Resnet3D``
+    wraps the trunk in ``nn.Sequential`` (models.py:205), so its state_dict
+    keys use numeric indices (``resnet.0.weight``)."""
+    def fix(key: str) -> str:
+        while True:
+            m = _SEQ_INV_RE.search(key)
+            if not m:
+                return key
+            key = (
+                key[: m.start()]
+                + f"{m.group(1)}resnet.{_SEQUENTIAL_RESNET_INV[m.group(2)]}."
+                + key[m.end():]
+            )
+
+    return {fix(k): v for k, v in state_dict.items()}
+
+
+def flax_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
+    """Export a flax param tree as a reference-compatible torch state_dict.
+
+    The exact inverse of ``torch_to_flax_params``: kernels transpose back,
+    q/k/v projections restack into MHA ``in_proj_weight``/``in_proj_bias``,
+    the R3D trunk re-wraps into the reference's ``nn.Sequential`` numbering,
+    and the spatial transformer's dead prototype layer
+    (``SpatialTransformer.encoder_layer``, reference models.py:46-54 — present
+    in every released checkpoint) is emitted as a copy of ``layers.0`` so
+    ``load_state_dict(strict=True)`` succeeds. The result torch.saves into a
+    file the reference's ``inference.py:59-69`` loads directly.
+    """
+    flat = traverse_util.flatten_dict(params)
+    out: Dict[str, np.ndarray] = {}
+    inproj: Dict[str, list] = {}
+    for path, value in flat.items():
+        v = np.asarray(value)
+        if len(path) >= 2 and path[-2] in ("q_proj", "k_proj", "v_proj"):
+            which = {"q_proj": 0, "k_proj": 1, "v_proj": 2}[path[-2]]
+            module = ".".join(
+                f"layers.{p.split('_', 1)[1]}" if p.startswith("layers_") else p
+                for p in path[:-2]
+            )
+            slot = "in_proj_weight" if path[-1] == "kernel" else "in_proj_bias"
+            parts = inproj.setdefault(f"{module}.{slot}", [None, None, None])
+            parts[which] = v.T if path[-1] == "kernel" else v
+            continue
+        key, transform = _torch_key(path)
+        if transform == "transpose":
+            if v.ndim == 2:
+                v = v.T
+            elif v.ndim == 5:
+                # flax [kT, kH, kW, in, out] → torch [out, in, kT, kH, kW]
+                v = v.transpose(4, 3, 0, 1, 2)
+            elif v.ndim != 1:
+                raise ValueError(f"unexpected kernel rank at {key}: {v.shape}")
+        if path[-1] == "position_embeddings":
+            # nn.Embedding on the torch side, plus the registered arange
+            # buffer (FramesEmbeddings, reference models.py:88-96).
+            out[f"{key[:-len('position_embeddings')]}position_ids"] = (
+                np.arange(v.shape[0], dtype=np.int64)[None]
+            )
+            key = f"{key}.weight"
+        out[key] = v
+    for key, parts in inproj.items():
+        assert all(p is not None for p in parts), f"incomplete q/k/v at {key}"
+        out[key] = np.concatenate(parts, axis=0)
+    out = _rewrap_sequential_resnet(out)
+    # torch BatchNorm buffers include num_batches_tracked (long scalar;
+    # value irrelevant — the reference pins BN to eval, models.py:206-219).
+    for key in [k for k in out if k.endswith(".running_mean")]:
+        out[key[: -len("running_mean")] + "num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64
+        )
+    # Prototype layer of the spatial encoder (deep-copied, never trained —
+    # fill with layer 0's values, which is what a fresh reference model holds).
+    for key in list(out):
+        marker = ".layout_embedding.transformer.layers.0."
+        if marker in key:
+            head, rest = key.split(marker, 1)
+            out[f"{head}.layout_embedding.encoder_layer.{rest}"] = out[key]
+    _fill_dead_reference_params(out)
+    return out
+
+
+def _fill_dead_reference_params(out: Dict[str, np.ndarray]) -> None:
+    """Zero-fill params the reference constructs but never runs, so
+    ``strict=True`` loads succeed. Flax only materializes what a forward
+    touches; the torch modules own three dead-weight families regardless:
+
+    - ``score_embeddings`` (CategoryBoxEmbeddings, models.py:26 — used only
+      when the batch carries detector scores, i.e. action_genome);
+    - ``Resnet3D.classifier`` / ``TransformerResnet.classifier`` inside the
+      fusion models (models.py:212, :252 — the fusion heads replace them).
+    """
+    head_rows = next(
+        (v.shape[0] for k, v in out.items() if k.endswith("fc2.weight")), None
+    )
+    for key in list(out):
+        if key.endswith("category_embeddings.weight"):
+            base = key[: -len("category_embeddings.weight")]
+            if f"{base}score_embeddings.weight" not in out:
+                hidden = out[key].shape[1]
+                out[f"{base}score_embeddings.weight"] = np.zeros((hidden, 1), np.float32)
+                out[f"{base}score_embeddings.bias"] = np.zeros((hidden,), np.float32)
+        if key.endswith("projector.weight") and head_rows is not None:
+            base = key[: -len("projector.weight")]  # a TransformerResnet root
+            hidden = out[key].shape[0]
+            if f"{base}classifier.weight" not in out:
+                out[f"{base}classifier.weight"] = np.zeros((head_rows, hidden), np.float32)
+                out[f"{base}classifier.bias"] = np.zeros((head_rows,), np.float32)
+            if (f"{base}resnet.resnet.0.weight" in out
+                    and f"{base}resnet.classifier.weight" not in out):
+                # reference Resnet3D hardcodes Linear(2048, C) (models.py:212)
+                out[f"{base}resnet.classifier.weight"] = np.zeros((head_rows, 2048), np.float32)
+                out[f"{base}resnet.classifier.bias"] = np.zeros((head_rows,), np.float32)
+
+
+def save_torch_checkpoint(path: str, params: Any) -> None:
+    """torch.save a flax param tree in the reference's checkpoint format."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(params).items()}
+    torch.save(sd, path)
+
+
 def _is_position_table(path: Tuple[str, ...], got, expected) -> bool:
     """A [rows, H] frame-position table whose only mismatch is the row count."""
     return (
