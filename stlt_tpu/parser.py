@@ -87,6 +87,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "backend init; overrides JAX_PLATFORMS.")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Tensor-parallel axis size (must divide device count).")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="Microbatches per optimizer step (same update as the "
+                        "full batch at 1/k the activation memory).")
     p.add_argument("--context_parallel", type=int, default=1,
                    help="Sequence-parallel axis size over the layout frame dim.")
     p.add_argument("--compute_dtype", type=str, default="float32",

@@ -234,8 +234,15 @@ def train(args):
     )
     state = create_train_state(params, tx)
 
+    grad_accum = max(getattr(args, "grad_accum_steps", 1), 1)
+    if args.batch_size % grad_accum:
+        raise ValueError(
+            f"--grad_accum_steps {grad_accum} must divide --batch_size "
+            f"{args.batch_size}"
+        )
     steps = compile_steps(mesh, model, tx, criterion, state=state,
-                          batch_template=template_batch)
+                          batch_template=template_batch,
+                          grad_accum=grad_accum)
     from stlt_tpu.parallel.distributed import put_tree
 
     state = put_tree(state, steps.state_sharding)

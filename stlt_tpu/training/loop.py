@@ -67,6 +67,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     criterion: Callable,
     rng_impl: str = "rbg",
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns train_step(state, batch, dropout_seed) -> (state, loss).
 
@@ -75,27 +76,98 @@ def make_train_step(
     which jit replicates across processes for free — instead of device_put-ing
     a key array onto a (possibly multi-host) mesh. rbg is ~16% faster than
     threefry on TPU for the dropout-bits-dominated steps.
+
+    ``grad_accum > 1`` splits the global batch into that many microbatches
+    inside the SAME jitted step (``lax.scan``), accumulating valid-row-
+    weighted loss sums and gradients so the update equals the full-batch one
+    (up to fp reassociation) at 1/k the activation memory. The split is
+    STRIDED (sample ``i`` → microbatch ``i % k``), which reshapes without
+    moving data across the ``data`` mesh axis.
     """
+
+    def _micro_update(params, micro_batch, rng_i):
+        valid = micro_batch.get("valid")
+        labels = micro_batch["labels"]
+        n = (
+            valid.sum().astype(jnp.float32)
+            if valid is not None
+            else jnp.asarray(labels.shape[0], jnp.float32)
+        )
+        model_inputs = {
+            k: v for k, v in micro_batch.items() if k not in ("labels", "valid")
+        }
+
+        def loss_sum_fn(params):
+            logits = model.apply(
+                {"params": params},
+                model_inputs,
+                deterministic=False,
+                rngs={"dropout": rng_i},
+            )
+            # criterion is a valid-weighted mean; × n gives the weighted SUM,
+            # which accumulates exactly across microbatches.
+            return criterion(logits, labels, valid) * n
+
+        loss_sum, grads = jax.value_and_grad(loss_sum_fn)(params)
+        return loss_sum, grads, n
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], dropout_seed):
         rng = jax.random.fold_in(
             jax.random.key(dropout_seed, impl=rng_impl), state.step
         )
-        valid = batch.get("valid")
-        model_inputs = {
-            k: v for k, v in batch.items() if k not in ("labels", "valid")
-        }
+        if grad_accum == 1:
+            valid = batch.get("valid")
+            model_inputs = {
+                k: v for k, v in batch.items() if k not in ("labels", "valid")
+            }
 
-        def loss_fn(params):
-            logits = model.apply(
-                {"params": params},
-                model_inputs,
-                deterministic=False,
-                rngs={"dropout": rng},
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params},
+                    model_inputs,
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return criterion(logits, batch["labels"], valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            batch_size = batch["labels"].shape[0]
+            if batch_size % grad_accum:
+                raise ValueError(
+                    f"grad_accum={grad_accum} does not divide batch {batch_size}"
+                )
+
+            def to_micro(x):
+                # [B, ...] → [k, B/k, ...] strided: keeps each microbatch
+                # spread evenly over the data-sharded axis (no resharding).
+                return x.reshape(batch_size // grad_accum, grad_accum, *x.shape[1:]) \
+                        .swapaxes(0, 1)
+
+            micro = jax.tree_util.tree_map(to_micro, batch)
+
+            def body(carry, idx_and_mb):
+                idx, mb = idx_and_mb
+                loss_acc, g_acc, n_acc = carry
+                loss_sum, grads, n = _micro_update(
+                    state.params, mb, jax.random.fold_in(rng, idx)
+                )
+                return (
+                    loss_acc + loss_sum,
+                    jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                    n_acc + n,
+                ), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss_sum, grads, n), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((), jnp.float32), zeros, jnp.zeros((), jnp.float32)),
+                (jnp.arange(grad_accum), micro),
             )
-            return criterion(logits, batch["labels"], valid)
+            n = jnp.maximum(n, 1.0)
+            loss = loss_sum / n
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
@@ -185,6 +257,7 @@ def compile_steps(
     params_template: Any = None,
     batch_template: Optional[Dict[str, Any]] = None,
     rng_impl: str = "rbg",
+    grad_accum: int = 1,
 ) -> CompiledSteps:
     """Wrap train/eval steps in jit with explicit mesh shardings.
 
@@ -219,7 +292,9 @@ def compile_steps(
             params=p_shard,
             opt_state=tree_shardings_like(mesh, state.opt_state, p_shard),
         )
-        raw_train = make_train_step(model, tx, criterion, rng_impl=rng_impl)
+        raw_train = make_train_step(
+            model, tx, criterion, rng_impl=rng_impl, grad_accum=grad_accum
+        )
         train_step = jax.jit(
             raw_train,
             in_shardings=(state_sharding, batch_shard, replicated),
