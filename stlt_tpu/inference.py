@@ -17,6 +17,7 @@ from __future__ import annotations
 import logging
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from stlt_tpu.configs import category2id_for, make_model_config, position_table_rows
@@ -120,13 +121,18 @@ def inference(args):
     )
     logging.info("Starting inference...")
     count_path = hasattr(evaluator, "process_counts")
+    count_totals = None
     for batch in device_prefetch(
         loader, steps.batch_sharding, global_batch_size=args.batch_size
     ):
         if count_path:
-            # On-device top-k accumulation: two ints per head per batch.
-            evaluator.process_counts(
-                jax.device_get(steps.eval_counts_step(params, batch))
+            # On-device top-k accumulation across ALL batches; one host
+            # fetch at the end instead of one ~70ms RTT per batch.
+            counts = steps.eval_counts_step(params, batch)
+            count_totals = (
+                counts
+                if count_totals is None
+                else jax.tree_util.tree_map(jnp.add, count_totals, counts)
             )
         else:
             logits = steps.eval_step(params, batch)
@@ -135,6 +141,8 @@ def inference(args):
                 steps.to_host(batch["labels"]),
                 valid=steps.to_host(batch["valid"]),
             )
+    if count_totals is not None:
+        evaluator.process_counts(jax.device_get(count_totals))
     metrics = evaluator.evaluate()
     logging.info("=================================")
     logging.info("The metrics are:")
