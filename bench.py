@@ -31,6 +31,10 @@ method measures a 4096³ bf16 matmul at ~193 TFLOP/s — v5e peak. The train
 workload needs no chain: the epoch's device-side loss list is fetched once
 at the epoch boundary, which bounds every step the same way.
 
+Hygiene: run the ``stlt_train`` workload on an IDLE host — its loader
+threads share the single core, and concurrent pytest/CLI work measurably
+deflates it (3151 → 2731 observed). Forward workloads are immune.
+
 Prints ONE JSON line per workload:
 {"metric", "value", "unit", "vs_baseline"}.
 """
