@@ -25,6 +25,7 @@ from stlt_tpu.data.samplers import sample_appearance_indices
 from stlt_tpu.data.transforms import (
     VideoColorJitter,
     center_crop,
+    center_crop_offsets,
     crop,
     normalize_to_array,
     random_crop_params,
@@ -115,14 +116,13 @@ class AppearanceDataset:
                     jitter_rgb(f, jitter)
             else:
                 fh, fw = native_frames[0].shape[:2]
-                top = int(round((fh - size) / 2.0))
-                left = int(round((fw - size) / 2.0))
+                top, left = center_crop_offsets(fh, fw, size)
                 h = w = size
             video = np.stack(
                 [f[top:top + h, left:left + w] for f in native_frames]
             )  # [T, S, S, 3] uint8
             if not cfg.device_normalize:
-                video = video.astype(np.float32) / 127.5 - 1.0
+                video = normalize_to_array(video)
         else:
             frames = [
                 self._load_frame(group, i)

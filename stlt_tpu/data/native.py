@@ -15,7 +15,6 @@ import ctypes
 import json
 import os
 import re
-import subprocess
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -33,57 +32,49 @@ _TEMPLATE_BRACKETS = re.compile(r"[\[\]]")
 
 def build_library(force: bool = False) -> Optional[str]:
     """Compile the tokenizer if needed; returns the .so path or None."""
-    if not force and os.path.exists(_LIB) and (
-        os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
-    ):
-        return _LIB
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-            check=True,
-            capture_output=True,
-            text=True,
-        )
-    except (OSError, subprocess.CalledProcessError):
-        return None
-    return _LIB
+    from stlt_tpu.data._native_build import build_shared_library
+
+    return build_shared_library(_SRC, _LIB, force=force)
 
 
 _lib_handle = None
+_lib_lock = __import__("threading").Lock()
 
 
 def load_library():
     global _lib_handle
-    if _lib_handle is not None:
-        return _lib_handle
-    path = build_library()
-    if path is None:
-        return None
-    lib = ctypes.CDLL(path)
-    lib.lt_parse.restype = ctypes.c_void_p
-    lib.lt_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
-    lib.lt_num_videos.argtypes = [ctypes.c_void_p]
-    lib.lt_video_num_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.lt_video_id.restype = ctypes.c_char_p
-    lib.lt_video_id.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.lt_video_meta.restype = ctypes.c_char_p
-    lib.lt_video_meta.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.lt_set_size.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_float]
-    lib.lt_scan_max_objects.restype = ctypes.c_int
-    lib.lt_scan_max_objects.argtypes = [ctypes.c_void_p, ctypes.c_double]
-    lib.lt_tokenize.restype = ctypes.c_int
-    lib.lt_tokenize.argtypes = [
-        ctypes.c_void_p, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.c_double,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.lt_free.argtypes = [ctypes.c_void_p]
-    _lib_handle = lib
-    return lib
+    with _lib_lock:
+        if _lib_handle is not None:
+            return _lib_handle
+        from stlt_tpu.data._native_build import load_shared_library
+
+        lib = load_shared_library(_SRC, _LIB)
+        if lib is None:
+            return None
+        lib.lt_parse.restype = ctypes.c_void_p
+        lib.lt_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.lt_num_videos.argtypes = [ctypes.c_void_p]
+        lib.lt_video_num_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.lt_video_id.restype = ctypes.c_char_p
+        lib.lt_video_id.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.lt_video_meta.restype = ctypes.c_char_p
+        lib.lt_video_meta.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.lt_set_size.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_float]
+        lib.lt_scan_max_objects.restype = ctypes.c_int
+        lib.lt_scan_max_objects.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.lt_tokenize.restype = ctypes.c_int
+        lib.lt_tokenize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lt_free.argtypes = [ctypes.c_void_p]
+        _lib_handle = lib
+        return lib
 
 
 def native_available() -> bool:

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional
 
 import numpy as np
@@ -34,38 +33,33 @@ _LIB = os.path.join(os.path.dirname(_SRC), "jpeg_pipeline.so")
 
 def build_library(force: bool = False) -> Optional[str]:
     """Compile the decoder if needed; returns the .so path or None."""
-    if not force and os.path.exists(_LIB) and (
-        os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
-    ):
-        return _LIB
-    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
-            "-ljpeg"]
-    # -march=native buys ~20% on the jitter path; retry portable if the
-    # toolchain rejects it.
-    for flags in (base + ["-march=native"], base):
-        try:
-            subprocess.run(flags, check=True, capture_output=True, text=True)
-            return _LIB
-        except subprocess.CalledProcessError:
-            continue
-        except OSError:
-            return None
-    return None
+    from stlt_tpu.data._native_build import build_shared_library
+
+    return build_shared_library(_SRC, _LIB, extra_flags=["-ljpeg"], force=force)
 
 
 _lib_handle = None
 _lib_tried = False
+_lib_lock = __import__("threading").Lock()
 
 
 def load_library():
     global _lib_handle, _lib_tried
-    if _lib_handle is not None or _lib_tried:
-        return _lib_handle
-    _lib_tried = True
-    path = build_library()
-    if path is None:
-        return None
-    lib = ctypes.CDLL(path)
+    with _lib_lock:
+        if _lib_handle is not None or _lib_tried:
+            return _lib_handle
+        _lib_tried = True
+        from stlt_tpu.data._native_build import load_shared_library
+
+        lib = load_shared_library(_SRC, _LIB, extra_flags=["-ljpeg"])
+        if lib is None:
+            return None
+        _setup_signatures(lib)
+        _lib_handle = lib
+        return lib
+
+
+def _setup_signatures(lib):
     u8p = ctypes.POINTER(ctypes.c_uint8)
     intp = ctypes.POINTER(ctypes.c_int)
     lib.jp_probe.restype = ctypes.c_int
@@ -84,8 +78,6 @@ def load_library():
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, ctypes.c_int,
     ]
-    _lib_handle = lib
-    return lib
 
 
 def native_jpeg_available() -> bool:

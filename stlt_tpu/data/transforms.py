@@ -57,10 +57,15 @@ def crop(img: Image.Image, top: int, left: int, height: int, width: int) -> Imag
     return img.crop((left, top, left + width, top + height))
 
 
+def center_crop_offsets(height: int, width: int, size: int) -> Tuple[int, int]:
+    """(top, left) of the centered crop — the ONE place this rounding lives
+    (the released checkpoints saw exactly these pixels)."""
+    return int(round((height - size) / 2.0)), int(round((width - size) / 2.0))
+
+
 def center_crop(img: Image.Image, size: int) -> Image.Image:
     w, h = img.size
-    top = int(round((h - size) / 2.0))
-    left = int(round((w - size) / 2.0))
+    top, left = center_crop_offsets(h, w, size)
     return img.crop((left, top, left + size, top + size))
 
 
@@ -103,8 +108,9 @@ class VideoColorJitter:
         return img
 
 
-def normalize_to_array(img: Image.Image) -> np.ndarray:
-    """uint8 PIL → float32 [H, W, 3] with mean 0.5 / std 0.5 (range [-1, 1])."""
+def normalize_to_array(img) -> np.ndarray:
+    """uint8 PIL image or ndarray → float32 with mean 0.5 / std 0.5
+    (range [-1, 1]); the ONE place the normalization constant lives."""
     arr = np.asarray(img, dtype=np.float32)
     return arr / 127.5 - 1.0
 

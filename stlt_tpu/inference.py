@@ -17,7 +17,6 @@ from __future__ import annotations
 import logging
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from stlt_tpu.configs import category2id_for, make_model_config, position_table_rows
@@ -33,7 +32,7 @@ from stlt_tpu.train import (
 )
 from stlt_tpu.training import checkpoint as ckpt
 from stlt_tpu.training.evaluation import evaluators_factory
-from stlt_tpu.training.loop import compile_steps
+from stlt_tpu.training.loop import EvalCountAccumulator, compile_steps
 
 
 def inference(args):
@@ -121,19 +120,12 @@ def inference(args):
     )
     logging.info("Starting inference...")
     count_path = hasattr(evaluator, "process_counts")
-    count_totals = None
+    count_acc = EvalCountAccumulator()
     for batch in device_prefetch(
         loader, steps.batch_sharding, global_batch_size=args.batch_size
     ):
         if count_path:
-            # On-device top-k accumulation across ALL batches; one host
-            # fetch at the end instead of one ~70ms RTT per batch.
-            counts = steps.eval_counts_step(params, batch)
-            count_totals = (
-                counts
-                if count_totals is None
-                else jax.tree_util.tree_map(jnp.add, count_totals, counts)
-            )
+            count_acc.add(steps.eval_counts_step(params, batch))
         else:
             logits = steps.eval_step(params, batch)
             evaluator.process(
@@ -141,8 +133,7 @@ def inference(args):
                 steps.to_host(batch["labels"]),
                 valid=steps.to_host(batch["valid"]),
             )
-    if count_totals is not None:
-        evaluator.process_counts(jax.device_get(count_totals))
+    count_acc.flush_into(evaluator)
     metrics = evaluator.evaluate()
     logging.info("=================================")
     logging.info("The metrics are:")

@@ -25,7 +25,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from stlt_tpu.configs import (
@@ -42,7 +41,11 @@ from stlt_tpu.parser import build_parser
 from stlt_tpu.training import checkpoint as ckpt
 from stlt_tpu.training.criterion import make_criterion
 from stlt_tpu.training.evaluation import evaluators_factory
-from stlt_tpu.training.loop import compile_steps, create_train_state
+from stlt_tpu.training.loop import (
+    EvalCountAccumulator,
+    compile_steps,
+    create_train_state,
+)
 from stlt_tpu.training.optimizer import make_optimizer
 
 
@@ -301,19 +304,12 @@ def train(args):
         # full sigmoid predictions host-side for Charades mAP.
         evaluator.reset()
         count_path = hasattr(evaluator, "process_counts")
-        count_totals = None
+        count_acc = EvalCountAccumulator()
         for batch in device_prefetch(
             val_loader, steps.batch_sharding, global_batch_size=args.batch_size
         ):
             if count_path:
-                # Accumulate ON DEVICE across the whole epoch; one host
-                # fetch at the end instead of one ~70ms RTT per batch.
-                counts = steps.eval_counts_step(state.params, batch)
-                count_totals = (
-                    counts
-                    if count_totals is None
-                    else jax.tree_util.tree_map(jnp.add, count_totals, counts)
-                )
+                count_acc.add(steps.eval_counts_step(state.params, batch))
             else:
                 logits = steps.eval_step(state.params, batch)
                 evaluator.process(
@@ -321,8 +317,7 @@ def train(args):
                     steps.to_host(batch["labels"]),
                     valid=steps.to_host(batch["valid"]),
                 )
-        if count_totals is not None:
-            evaluator.process_counts(jax.device_get(count_totals))
+        count_acc.flush_into(evaluator)
         metrics = evaluator.evaluate()
         if evaluator.is_best():
             logging.info("=================================")

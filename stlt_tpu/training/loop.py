@@ -223,6 +223,28 @@ def make_eval_counts_step(model) -> Callable:
     return eval_counts_step
 
 
+class EvalCountAccumulator:
+    """Accumulates ``eval_counts_step`` outputs ON DEVICE across an eval
+    pass; ``flush_into`` performs the single host fetch (vs one ~70ms-RTT
+    ``device_get`` per batch through this environment's relay). Shared by
+    the train-loop validation pass and the inference CLI."""
+
+    def __init__(self):
+        self.totals = None
+
+    def add(self, counts) -> None:
+        self.totals = (
+            counts
+            if self.totals is None
+            else jax.tree_util.tree_map(jnp.add, self.totals, counts)
+        )
+
+    def flush_into(self, evaluator) -> None:
+        if self.totals is not None:
+            evaluator.process_counts(jax.device_get(self.totals))
+        self.totals = None
+
+
 @dataclasses.dataclass
 class CompiledSteps:
     mesh: Mesh

@@ -320,17 +320,24 @@ def _fill_dead_reference_params(out: Dict[str, np.ndarray]) -> None:
                 hidden = out[key].shape[1]
                 out[f"{base}score_embeddings.weight"] = np.zeros((hidden, 1), np.float32)
                 out[f"{base}score_embeddings.bias"] = np.zeros((hidden,), np.float32)
-        if key.endswith("projector.weight") and head_rows is not None:
+        if key.endswith("projector.weight"):
             base = key[: -len("projector.weight")]  # a TransformerResnet root
             hidden = out[key].shape[0]
-            if f"{base}classifier.weight" not in out:
-                out[f"{base}classifier.weight"] = np.zeros((head_rows, hidden), np.float32)
-                out[f"{base}classifier.bias"] = np.zeros((head_rows,), np.float32)
+            # Standalone resnet3d-transformer exports its OWN classifier —
+            # num_classes comes from it; fusion models (classifier unused,
+            # never materialized by flax) fall back to a head's fc2.
+            own = out.get(f"{base}classifier.weight")
+            rows = own.shape[0] if own is not None else head_rows
+            if rows is None:
+                continue
+            if own is None:
+                out[f"{base}classifier.weight"] = np.zeros((rows, hidden), np.float32)
+                out[f"{base}classifier.bias"] = np.zeros((rows,), np.float32)
             if (f"{base}resnet.resnet.0.weight" in out
                     and f"{base}resnet.classifier.weight" not in out):
                 # reference Resnet3D hardcodes Linear(2048, C) (models.py:212)
-                out[f"{base}resnet.classifier.weight"] = np.zeros((head_rows, 2048), np.float32)
-                out[f"{base}resnet.classifier.bias"] = np.zeros((head_rows,), np.float32)
+                out[f"{base}resnet.classifier.weight"] = np.zeros((rows, 2048), np.float32)
+                out[f"{base}resnet.classifier.bias"] = np.zeros((rows,), np.float32)
 
 
 def save_torch_checkpoint(path: str, params: Any) -> None:

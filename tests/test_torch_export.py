@@ -108,6 +108,39 @@ def test_export_cacnf_loads_strict_and_matches(r3d_checkpoint):  # noqa: F811
         )
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["resnet3d", "resnet3d-transformer"])
+def test_export_standalone_appearance_loads_strict(name, r3d_checkpoint):  # noqa: F811
+    # Regression: the resnet.classifier zero-fill must key off the model's
+    # OWN classifier rows when no fusion head (fc2) exists in the tree.
+    ref_configs, ref_models = _reference()
+    kwargs = dict(
+        num_classes=HP["num_classes"],
+        appearance_num_frames=HP["appearance_num_frames"],
+        resnet_model_path=r3d_checkpoint,
+        hidden_size=HP["hidden_size"],
+        num_attention_heads=HP["num_attention_heads"],
+        num_appearance_layers=HP["num_appearance_layers"],
+    )
+    video = _video_np(seed=3)
+    inputs = {"video_frames": video}
+    cfg = model_configs_factory[name](**kwargs)
+    model = models_factory[name](cfg)
+    params = model.init(jax.random.PRNGKey(6), inputs)["params"]
+    jout = model.apply({"params": params}, inputs)["resnet3d"]
+
+    tmodel = ref_models.models_factory[name](
+        ref_configs.AppearanceModelConfig(**dict(kwargs))
+    )
+    tmodel.load_state_dict(_as_torch(flax_to_torch_state_dict(params)), strict=True)
+    tmodel.eval()
+    with torch.no_grad():
+        tout = tmodel(
+            {"video_frames": torch.from_numpy(video).permute(0, 4, 1, 2, 3)}
+        )["resnet3d"].numpy()
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=1e-3, rtol=1e-3)
+
+
 def test_export_cli_tool(tmp_path):
     from flax import serialization
 
