@@ -134,6 +134,14 @@ class TransformerResnet(nn.Module):
         feats = self.projector(feats)
         # [B, S, H] with S = T'·H'·W' (T-major — same token order as torch).
         tokens = feats.reshape(B, -1, cfg.hidden_size)
+        if tokens.shape[1] != cfg.appearance_num_frames:
+            raise ValueError(
+                f"R3D emitted {tokens.shape[1]} tokens but the pos_embed table "
+                f"holds appearance_num_frames={cfg.appearance_num_frames}; "
+                "they must match (reference models.py:248-250 — e.g. 32 frames "
+                "@112px → 2·4·4 = 32 tokens). Adjust --appearance_num_frames "
+                "or --spatial_size."
+            )
         cls = jnp.broadcast_to(self.cls_token, (B, 1, cfg.hidden_size)).astype(dtype)
         tokens = jnp.concatenate([cls, tokens], axis=1)
         # torch pos_embed is [S+1, 1, H] (seq-first); ours is [B, S+1, H].

@@ -48,3 +48,24 @@ def test_profile_window_flag_validation():
     )
     with pytest.raises(ValueError, match="profile_window"):
         train(args)
+
+
+def test_appearance_token_count_mismatch_is_clear():
+    """R3D token count vs pos_embed table mismatch raises a named error
+    instead of an opaque broadcast failure (models/appearance.py)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from stlt_tpu.configs import AppearanceModelConfig
+    from stlt_tpu.models import models_factory
+
+    cfg = AppearanceModelConfig(
+        num_classes=5, appearance_num_frames=32, resnet_model_path="unused",
+        resnet_depth=10, hidden_size=32, num_attention_heads=4,
+        num_appearance_layers=1,
+    )
+    model = models_factory["resnet3d-transformer"](cfg)
+    video = np.zeros((1, 4, 64, 64, 3), np.float32)  # emits 4 tokens, not 32
+    with pytest.raises(ValueError, match="appearance_num_frames"):
+        model.init(jax.random.PRNGKey(0), {"video_frames": video})

@@ -77,7 +77,15 @@ def test_export_stlt_loads_strict_and_matches():
 
 
 @pytest.mark.slow
-def test_export_cacnf_loads_strict_and_matches(r3d_checkpoint):  # noqa: F811
+@pytest.mark.parametrize(
+    "name,logit_names",
+    [
+        ("lcf", ("lcf",)),
+        ("caf", ("caf",)),
+        ("cacnf", ("stlt", "resnet3d", "caf", "ensemble")),
+    ],
+)
+def test_export_fusion_loads_strict_and_matches(name, logit_names, r3d_checkpoint):  # noqa: F811
     ref_configs, ref_models = _reference()
     kwargs = dict(HP, resnet_model_path=r3d_checkpoint)
 
@@ -87,12 +95,12 @@ def test_export_cacnf_loads_strict_and_matches(r3d_checkpoint):  # noqa: F811
     inputs = {k: v for k, v in batch_np.items() if k != "labels"}
     inputs["video_frames"] = video
 
-    cfg = model_configs_factory["cacnf"](**kwargs)
-    model = models_factory["cacnf"](cfg)
+    cfg = model_configs_factory[name](**kwargs)
+    model = models_factory[name](cfg)
     params = model.init(jax.random.PRNGKey(4), inputs)["params"]
     jout = model.apply({"params": params}, inputs)
 
-    tmodel = ref_models.models_factory["cacnf"](
+    tmodel = ref_models.models_factory[name](
         ref_configs.MultimodalModelConfig(**dict(kwargs))
     )
     tmodel.load_state_dict(_as_torch(flax_to_torch_state_dict(params)), strict=True)
@@ -101,7 +109,7 @@ def test_export_cacnf_loads_strict_and_matches(r3d_checkpoint):  # noqa: F811
     tbatch["video_frames"] = torch.from_numpy(video).permute(0, 4, 1, 2, 3)
     with torch.no_grad():
         tout = tmodel(tbatch)
-    for key in ("stlt", "resnet3d", "caf", "ensemble"):
+    for key in logit_names:
         np.testing.assert_allclose(
             np.asarray(jout[key]), tout[key].numpy(), atol=1e-3, rtol=1e-3,
             err_msg=key,
