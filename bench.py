@@ -214,7 +214,10 @@ def bench_stlt_train():
     from stlt_tpu.train import train
     from tests.fixtures import make_something_fixture
 
-    bs, n_videos = 512, 4096
+    # 16 steps/epoch (~2.7 s): at 8 steps the epoch time was short enough
+    # that log-resolution quantized the reported rate into two buckets
+    # (2926/3151) — longer epochs + the %.3f epoch log fix the metrology.
+    bs, n_videos = 512, 8192
     with tempfile.TemporaryDirectory() as tmpdir:
         paths, *_ = make_something_fixture(tmpdir, num_videos=n_videos, seed=0)
         argv = [

@@ -73,10 +73,19 @@ def _fused_attn_kernel(
     o_ref[:, 0] = out.astype(o_ref.dtype)
 
 
-def _pick_row_block(rows: int, t: int, s: int, d: int) -> int:
-    """Batch rows per program: target ~1 MB of q+k+v+o+probs in VMEM."""
+def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) -> int:
+    """Batch rows per program, sized by a VMEM target.
+
+    Eval (no dropout mask): 4 MB. Measured on the spatial shape (17408 rows
+    × 8 tokens, 12 heads): 1 MB → 7.89 ms, 2 MB → 7.34, 4 MB → 7.05, 8 MB →
+    6.99; ×2 double-buffering still fits VMEM at every dispatched shape.
+    Train (mask operand present): the bigger blocks REGRESS the real CLI
+    loop (2560 vs 2926 clips/s at B=512), so the masked path keeps 1 MB.
+    The residual eval cost is the per-row mini-matmul issue rate (B·N·2 MXU
+    ops), which block-diagonal clip packing does NOT fix (measured 11.1 ms
+    at every pack factor — see PERF_NOTES)."""
     bytes_per_row = (2 * t * d + 2 * s * d + 2 * t * s) * 4
-    target = 1024 * 1024
+    target = (1 if masked else 4) * 1024 * 1024
     rb = max(1, target // max(bytes_per_row, 1))
     rb = min(rb, rows)
     while rows % rb:
@@ -290,7 +299,7 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate):
         out = _blockwise_forward(qt, kt, vt, bias_arr, mask, dropout_scale)
         return out.transpose(0, 2, 1, 3)
 
-    rb = _pick_row_block(B, T, S, D)
+    rb = _pick_row_block(B, T, S, D, masked=mask is not None)
     grid = (B // rb, N)
 
     def qkv_spec(seq):

@@ -296,7 +296,7 @@ def train(args):
                 logging.info("Wrote profiler trace to %s", args.profile_dir)
         epoch_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
         logging.info(
-            "Epoch %d: train loss %.6f (%d steps, %.1fs)",
+            "Epoch %d: train loss %.6f (%d steps, %.3fs)",
             epoch + 1, epoch_loss, seen, time.time() - epoch_start,
         )
         # Validation. Something-style evaluators accumulate top-k counts ON
