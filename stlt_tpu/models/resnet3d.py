@@ -103,19 +103,22 @@ class StemConv(nn.Module):
             w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
                 t, 4, 4, 4 * in_c, self.features
             )
+            # No preferred_element_type=f32: the MXU accumulates bf16
+            # products in f32 regardless (verified bit-identical output),
+            # and an f32-typed conv output breaks the conv rhs-transpose in
+            # the backward (f32 cotangent vs bf16 operands — the bf16 CACNF
+            # TRAIN step failed on exactly this).
             return jax.lax.conv_general_dilated(
                 x2, w2,
                 window_strides=(self.conv1_t_stride, 1, 1),
                 padding=(t_pad, (2, 1), (2, 1)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             ).astype(self.dtype)
         return jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.conv1_t_stride, 2, 2),
             padding=(t_pad, (3, 3), (3, 3)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(self.dtype)
 
 
