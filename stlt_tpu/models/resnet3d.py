@@ -113,13 +113,13 @@ class StemConv(nn.Module):
                 window_strides=(self.conv1_t_stride, 1, 1),
                 padding=(t_pad, (2, 1), (2, 1)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            ).astype(self.dtype)
+            )
         return jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.conv1_t_stride, 2, 2),
             padding=(t_pad, (3, 3), (3, 3)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ).astype(self.dtype)
+        )
 
 
 def _conv(features: int, kernel: Tuple[int, int, int], strides, name: str, dtype):

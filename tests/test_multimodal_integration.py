@@ -103,46 +103,3 @@ def test_multimodal_train_and_inference(setup, monkeypatch, model_name):
     else:
         assert "lcf_top1_accuracy" in metrics
 
-
-def test_cacnf_bf16_train_step_runs():
-    """Regression: bf16 CACNF TRAIN failed in the stem conv's backward when
-    the conv carried preferred_element_type=f32 (f32 cotangent vs bf16
-    operands in the rhs-transpose). Eval never hit it — only value_and_grad."""
-    import jax
-    import numpy as np
-
-    from __graft_entry__ import _synthetic_layout_batch
-    from stlt_tpu.configs import MultimodalModelConfig
-    from stlt_tpu.models import models_factory
-    from stlt_tpu.parallel.mesh import make_mesh
-    from stlt_tpu.training.criterion import make_criterion
-    from stlt_tpu.training.loop import compile_steps, create_train_state
-    from stlt_tpu.training.optimizer import make_optimizer
-
-    cfg = MultimodalModelConfig(
-        num_classes=5, unique_categories=4, hidden_size=32,
-        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
-        num_appearance_layers=1, num_fusion_layers=1, appearance_num_frames=4,
-        resnet_model_path="unused", resnet_depth=10, compute_dtype="bfloat16",
-    )
-    model = models_factory["cacnf"](cfg)
-    B = 8
-    batch = _synthetic_layout_batch(B, 5, 4, 4)
-    batch["labels"] = batch["labels"] % 5
-    batch["valid"] = np.ones(B, bool)
-    rng = np.random.default_rng(0)
-    batch["video_frames"] = rng.normal(0, 1, (B, 4, 64, 64, 3)).astype(np.float32)
-    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
-    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
-    criterion = make_criterion("something")
-    tx = make_optimizer(params, learning_rate=1e-3, weight_decay=1e-3,
-                        clip_val=5.0, num_warmup_steps=1, num_training_steps=5)
-    state = create_train_state(params, tx)
-    steps = compile_steps(make_mesh(1), model, tx, criterion, state=state)
-    state = jax.device_put(state, steps.state_sharding)
-    state, loss = steps.train_step(state, batch, np.uint32(1))
-    assert np.isfinite(float(loss))
-    # uint8 device-normalize path under bf16 train too
-    batch["video_frames"] = ((batch["video_frames"] + 1) * 127.5).astype(np.uint8)
-    state, loss = steps.train_step(state, batch, np.uint32(2))
-    assert np.isfinite(float(loss))

@@ -32,7 +32,8 @@ def _batch(with_video):
     return batch
 
 
-def _one_step(name, *, dtype, use_pallas=False, remat=False, grad_accum=1):
+def _one_step(name, *, dtype, use_pallas=False, remat=False, grad_accum=1,
+              uint8_followup=False):
     cfg = make_model_config(
         name,
         num_classes=5,
@@ -64,13 +65,26 @@ def _one_step(name, *, dtype, use_pallas=False, remat=False, grad_accum=1):
     state = jax.device_put(state, steps.state_sharding)
     state, loss = steps.train_step(state, batch, np.uint32(3))
     assert np.isfinite(float(loss)), (name, dtype, use_pallas, remat, grad_accum)
+    if uint8_followup:
+        # device-normalize path: same step with raw uint8 frames.
+        batch["video_frames"] = (
+            (batch["video_frames"] + 1) * 127.5
+        ).astype(np.uint8)
+        state, loss = steps.train_step(state, batch, np.uint32(4))
+        assert np.isfinite(float(loss)), (name, dtype, "uint8")
 
 
 @pytest.mark.parametrize("name", ["stlt", "resnet3d", "resnet3d-transformer",
                                   "lcf", "caf"])
 def test_bf16_train_step(name):
-    # cacnf is covered (with uint8 frames too) in test_multimodal_integration.
     _one_step(name, dtype="bfloat16")
+
+
+def test_bf16_cacnf_train_step_with_uint8_frames():
+    """Regression for the stem-conv backward bug (ec01a26): bf16 appearance
+    TRAIN failed while eval worked; includes the uint8 device-normalize
+    path. (uint8_followup recompiles the step for the uint8 batch — expected.)"""
+    _one_step("cacnf", dtype="bfloat16", uint8_followup=True)
 
 
 def test_bf16_remat_pallas_train_step():
