@@ -100,7 +100,11 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
 # 370 vs 509 clips/s on the 256-frame workload before this threshold).
 _BLOCKWISE_MIN_SEQ = 513
 _Q_BLOCK = 128
-_KV_BLOCK = 128
+# KV-loop block: measured at the 512-frame workload (S=514): 128 → 176
+# clips/s, 256 → 207, 384 → 228, 512 → 224. The KV-loop iteration overhead
+# outweighs pad-waste here (384 pads 514→768 keys yet beats 128's 640), so
+# prefer fewer, larger KV steps; 512 starts losing to its 1024-key padding.
+_KV_BLOCK = 384
 _NEG_INF = -1e30  # finite: exp(-1e30 - m) == 0 without inf-inf NaNs
 
 
