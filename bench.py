@@ -206,8 +206,9 @@ def bench_cacnf():
 def bench_stlt_train():
     """The REAL CLI loop: stlt_tpu.train epoch over a synthetic on-disk
     dataset — loader + prefetch + donated jit step + device-side loss
-    accumulation. Clips/sec read from the post-compile epoch."""
-    import logging
+    accumulation. Clips/sec read from the post-compile epoch via the
+    STRUCTURED per-epoch records ``train()`` returns (TrainResult.epochs) —
+    no log-string scraping."""
     import tempfile
 
     from stlt_tpu.parser import build_parser
@@ -215,8 +216,8 @@ def bench_stlt_train():
     from tests.fixtures import make_something_fixture
 
     # 16 steps/epoch (~2.7 s): at 8 steps the epoch time was short enough
-    # that log-resolution quantized the reported rate into two buckets
-    # (2926/3151) — longer epochs + the %.3f epoch log fix the metrology.
+    # that timer resolution quantized the reported rate into two buckets
+    # (2926/3151) — longer epochs fix the metrology.
     bs, n_videos = 512, 8192
     with tempfile.TemporaryDirectory() as tmpdir:
         paths, *_ = make_something_fixture(tmpdir, num_videos=n_videos, seed=0)
@@ -237,30 +238,14 @@ def bench_stlt_train():
             "--num_workers", "2",
             "--save_model_path", f"{tmpdir}/best.msgpack",
         ]
-        records = []
+        result = train(build_parser("bench").parse_args(argv))
 
-        class Grab(logging.Handler):
-            def emit(self, record):
-                records.append(record.getMessage())
-
-        root = logging.getLogger()
-        root.setLevel(logging.INFO)
-        handler = Grab()
-        root.addHandler(handler)
-        try:
-            train(build_parser("bench").parse_args(argv))
-        finally:
-            root.removeHandler(handler)
-
-    # "Epoch N: train loss L (S steps, T s)" — epoch 1 pays the compile;
-    # report the best post-compile epoch.
-    rates = []
-    for msg in records:
-        if "train loss" in msg:
-            steps = int(msg.split("(")[1].split(" steps")[0])
-            secs = float(msg.split("steps, ")[1].split("s)")[0])
-            rates.append(steps * bs / max(secs, 1e-9))
-    assert len(rates) >= 2, records
+    # Epoch 1 pays the compile; report the best post-compile epoch.
+    rates = [
+        r["steps"] * bs / max(r["train_seconds"], 1e-9)
+        for r in result.epochs
+    ]
+    assert len(rates) >= 2, result.epochs
     clips = max(rates[1:])
     return {
         "metric": f"stlt_train_clips_per_sec_chip (REAL CLI loop, bf16+pallas, batch {bs})",

@@ -17,6 +17,16 @@ import threading
 from typing import List, Optional
 
 _build_lock = threading.Lock()
+# Last failed compile's stderr, keyed by source path — surfaced by callers
+# that want to tell the user WHY an opt-in native fast path silently became
+# the Python fallback (e.g. --native_decode without libjpeg headers).
+_build_errors: dict = {}
+
+
+def last_build_error(src: str) -> Optional[str]:
+    """stderr of the most recent failed compile of ``src`` (None if none)."""
+    with _build_lock:
+        return _build_errors.get(src)
 
 
 def build_shared_library(
@@ -38,10 +48,13 @@ def build_shared_library(
             try:
                 subprocess.run(flags, check=True, capture_output=True, text=True)
                 os.replace(tmp, lib)  # atomic publish
+                _build_errors.pop(src, None)
                 return lib
-            except subprocess.CalledProcessError:
+            except subprocess.CalledProcessError as e:
+                _build_errors[src] = e.stderr or str(e)
                 continue
-            except OSError:
+            except OSError as e:
+                _build_errors[src] = str(e)
                 return None
             finally:
                 if os.path.exists(tmp):

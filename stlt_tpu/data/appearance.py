@@ -35,6 +35,27 @@ from stlt_tpu.data.transforms import (
 
 _TEMPLATE_BRACKETS = re.compile(r"[\[\]]")
 
+# One warning per process when --native_decode was requested but the C++
+# stage is unavailable — otherwise the advertised ~2x/core decode speedup
+# silently degrades to PIL with no trace of the compiler error.
+_warned_native_fallback = False
+
+
+def _warn_native_fallback() -> None:
+    global _warned_native_fallback
+    if _warned_native_fallback:
+        return
+    _warned_native_fallback = True
+    import logging
+
+    from stlt_tpu.data.native_jpeg import unavailable_reason
+
+    logging.warning(
+        "--native_decode requested but the native JPEG stage is unavailable; "
+        "falling back to PIL (slower). Build error:\n%s",
+        unavailable_reason(),
+    )
+
 
 class AppearanceDataset:
     def __init__(self, config: DataConfig, json_file: Optional[List[dict]] = None):
@@ -75,6 +96,7 @@ class AppearanceDataset:
         from stlt_tpu.data.native_jpeg import decode_resize, native_jpeg_available
 
         if not native_jpeg_available():
+            _warn_native_fallback()
             return None
         frames = []
         for i in indices:
@@ -112,8 +134,15 @@ class AppearanceDataset:
                 top, left, h, w = random_crop_params(
                     native_frames[0], size, rng
                 )
-                for f in native_frames:
-                    jitter_rgb(f, jitter)
+                for n, f in enumerate(native_frames):
+                    if not jitter_rgb(f, jitter):
+                        # Native jitter failed AFTER the RNG draws were
+                        # consumed — apply the SAME draw via the PIL op chain
+                        # so the clip still trains jittered and the stream
+                        # stays aligned with the pure-PIL path.
+                        native_frames[n] = np.asarray(
+                            jitter(Image.fromarray(f)), dtype=np.uint8
+                        )
             else:
                 fh, fw = native_frames[0].shape[:2]
                 top, left = center_crop_offsets(fh, fw, size)

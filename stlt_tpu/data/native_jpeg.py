@@ -84,6 +84,15 @@ def native_jpeg_available() -> bool:
     return load_library() is not None
 
 
+def unavailable_reason() -> Optional[str]:
+    """Why the native stage is unavailable (compiler stderr etc.), or None."""
+    if native_jpeg_available():
+        return None
+    from stlt_tpu.data._native_build import last_build_error
+
+    return last_build_error(_SRC) or "shared library failed to load"
+
+
 def _u8ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 

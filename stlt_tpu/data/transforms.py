@@ -108,11 +108,21 @@ class VideoColorJitter:
         return img
 
 
+# mean/std 0.5 over the [0, 1] range ⇔ uint8 x → x / 127.5 - 1 (reference
+# datasets.py:196-197). The ONE place the constants live: the host path
+# (normalize_to_array) and the on-device DataConfig.device_normalize path
+# (models/appearance.py Resnet3D.forward_features) both import these, and
+# both use the same divide-then-subtract f32 op order so results are
+# bit-identical either way.
+NORM_DIVISOR = 127.5
+NORM_OFFSET = -1.0
+
+
 def normalize_to_array(img) -> np.ndarray:
     """uint8 PIL image or ndarray → float32 with mean 0.5 / std 0.5
-    (range [-1, 1]); the ONE place the normalization constant lives."""
+    (range [-1, 1])."""
     arr = np.asarray(img, dtype=np.float32)
-    return arr / 127.5 - 1.0
+    return arr / NORM_DIVISOR + NORM_OFFSET
 
 
 def resize_target(spatial_size: int) -> int:

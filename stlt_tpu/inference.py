@@ -32,7 +32,11 @@ from stlt_tpu.train import (
 )
 from stlt_tpu.training import checkpoint as ckpt
 from stlt_tpu.training.evaluation import evaluators_factory
-from stlt_tpu.training.loop import EvalCountAccumulator, compile_steps
+from stlt_tpu.training.loop import (
+    EvalCountAccumulator,
+    EvalProbsAccumulator,
+    compile_steps,
+)
 
 
 def inference(args):
@@ -120,12 +124,16 @@ def inference(args):
     )
     logging.info("Starting inference...")
     count_path = hasattr(evaluator, "process_counts")
+    probs_path = not count_path and hasattr(evaluator, "process_probs")
     count_acc = EvalCountAccumulator()
+    probs_acc = EvalProbsAccumulator()
     for batch in device_prefetch(
         loader, steps.batch_sharding, global_batch_size=args.batch_size
     ):
         if count_path:
             count_acc.add(steps.eval_counts_step(params, batch))
+        elif probs_path:
+            probs_acc.add(steps.eval_probs_step(params, batch))
         else:
             logits = steps.eval_step(params, batch)
             evaluator.process(
@@ -134,6 +142,7 @@ def inference(args):
                 valid=steps.to_host(batch["valid"]),
             )
     count_acc.flush_into(evaluator)
+    probs_acc.flush_into(evaluator)
     metrics = evaluator.evaluate()
     logging.info("=================================")
     logging.info("The metrics are:")

@@ -69,9 +69,12 @@ class Resnet3D(nn.Module):
         if frames.dtype == jnp.uint8:
             # Host shipped raw uint8 crops (DataConfig.device_normalize —
             # 4× less host→device bandwidth than f32); apply the pipeline's
-            # mean/std-0.5 normalization on device (transforms.py, reference
-            # datasets.py:196-197).
-            frames = frames.astype(jnp.float32) / 127.5 - 1.0
+            # mean/std-0.5 normalization on device with the SAME constants and
+            # f32 op order as the host path (transforms.normalize_to_array,
+            # reference datasets.py:196-197).
+            from stlt_tpu.data.transforms import NORM_DIVISOR, NORM_OFFSET
+
+            frames = frames.astype(jnp.float32) / NORM_DIVISOR + NORM_OFFSET
         # [B, T', H', W', 2048]
         return self.resnet(frames)
 

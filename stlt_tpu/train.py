@@ -43,10 +43,11 @@ from stlt_tpu.training.criterion import make_criterion
 from stlt_tpu.training.evaluation import evaluators_factory
 from stlt_tpu.training.loop import (
     EvalCountAccumulator,
+    EvalProbsAccumulator,
     compile_steps,
     create_train_state,
 )
-from stlt_tpu.training.optimizer import make_optimizer
+from stlt_tpu.training.optimizer import make_optimizer, model_no_decay_names
 
 
 def setup_logging(log_filepath, *, coordinator: bool = True):
@@ -77,6 +78,30 @@ def build_data_config(args, *, train: bool, dataset_path: str) -> DataConfig:
         native_decode=getattr(args, "native_decode", False),
         device_normalize=getattr(args, "device_normalize", False),
     )
+
+
+import dataclasses
+from typing import Any, Dict, List
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """What ``train()`` returns: the final train state plus MACHINE-READABLE
+    per-epoch records (steps, seconds, loss, metrics) — the structured
+    telemetry surface bench.py and any driver consumes instead of scraping
+    log strings. ``step``/``params`` pass through to the state so existing
+    ``train(args).params``-style callers keep working."""
+
+    state: Any
+    epochs: List[Dict[str, Any]]
+
+    @property
+    def step(self):
+        return self.state.step
+
+    @property
+    def params(self):
+        return self.state.params
 
 
 def model_inputs_template(batch):
@@ -228,13 +253,9 @@ def train(args):
         num_warmup_steps=args.warmup_epochs * num_batches,
         num_training_steps=args.epochs * num_batches,
         freeze_backbone=bool(args.freeze_backbone and args.load_backbone_path),
-        # Reference add_weight_decay honors model.no_weight_decay(), defined
-        # only by TransformerResnet (models.py:282-283).
-        no_decay_names=(
-            ("pos_embed", "cls_token")
-            if args.model_name == "resnet3d-transformer"
-            else ()
-        ),
+        # Ask the MODEL for its declared no-decay set (reference hasattr
+        # semantics, train_inference_utils.py:44-46).
+        no_decay_names=model_no_decay_names(model),
     )
     state = create_train_state(params, tx)
 
@@ -274,6 +295,7 @@ def train(args):
     )
     logging.info("Starting training...")
     global_step = int(jax.device_get(state.step))
+    epoch_records = []
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
         # Losses stay ON DEVICE through the epoch (one scalar buffer per
@@ -295,21 +317,28 @@ def train(args):
                 profile_window = None
                 logging.info("Wrote profiler trace to %s", args.profile_dir)
         epoch_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+        train_seconds = time.time() - epoch_start
         logging.info(
             "Epoch %d: train loss %.6f (%d steps, %.3fs)",
-            epoch + 1, epoch_loss, seen, time.time() - epoch_start,
+            epoch + 1, epoch_loss, seen, train_seconds,
         )
-        # Validation. Something-style evaluators accumulate top-k counts ON
-        # DEVICE (two ints/head/batch over the link); Action Genome needs the
-        # full sigmoid predictions host-side for Charades mAP.
+        # Validation. Both dataset families accumulate ON DEVICE with ONE
+        # host fetch per epoch: Something as top-k counts (two ints/head/
+        # batch), Action Genome as sigmoid predictions (Charades mAP needs
+        # them all, but not one ~70ms-RTT round trip per batch).
+        eval_start = time.time()
         evaluator.reset()
         count_path = hasattr(evaluator, "process_counts")
+        probs_path = not count_path and hasattr(evaluator, "process_probs")
         count_acc = EvalCountAccumulator()
+        probs_acc = EvalProbsAccumulator()
         for batch in device_prefetch(
             val_loader, steps.batch_sharding, global_batch_size=args.batch_size
         ):
             if count_path:
                 count_acc.add(steps.eval_counts_step(state.params, batch))
+            elif probs_path:
+                probs_acc.add(steps.eval_probs_step(state.params, batch))
             else:
                 logits = steps.eval_step(state.params, batch)
                 evaluator.process(
@@ -318,8 +347,10 @@ def train(args):
                     valid=steps.to_host(batch["valid"]),
                 )
         count_acc.flush_into(evaluator)
+        probs_acc.flush_into(evaluator)
         metrics = evaluator.evaluate()
-        if evaluator.is_best():
+        is_best = evaluator.is_best()
+        if is_best:
             logging.info("=================================")
             logging.info("Found new best on epoch %d!", epoch + 1)
             logging.info("=================================")
@@ -332,9 +363,21 @@ def train(args):
             ckpt.save_train_state(manager, int(jax.device_get(state.step)), state)
         for m, v in metrics.items():
             logging.info("%s: %s", m, round(v * 100, 2))
+        epoch_records.append(
+            {
+                "epoch": epoch + 1,
+                "global_step": global_step,
+                "steps": seen,
+                "train_seconds": round(train_seconds, 6),
+                "train_loss": epoch_loss,
+                "eval_seconds": round(time.time() - eval_start, 6),
+                "metrics": dict(metrics),
+                "is_best": is_best,
+            }
+        )
     if manager is not None:
         manager.wait_until_finished()
-    return state
+    return TrainResult(state=state, epochs=epoch_records)
 
 
 def main():

@@ -93,12 +93,21 @@ class EvaluatorActionGenome:
 
     def process(self, logits: Dict[str, np.ndarray], labels: np.ndarray, valid: Optional[np.ndarray] = None):
         arr = np.asarray(logits["stlt"], dtype=np.float64)
+        probs = 1.0 / (1.0 + np.exp(-arr))
+        self.process_probs(probs, labels, valid=valid)
+
+    def process_probs(self, probs: np.ndarray, labels: np.ndarray, valid: Optional[np.ndarray] = None):
+        """Device-accumulation path (loop.make_eval_probs_step): sigmoid was
+        already applied on device; mAP depends only on the prediction
+        ORDERING, so f32-on-device vs f64-on-host sigmoid is metric-identical
+        (sigmoid is monotonic)."""
+        probs = np.asarray(probs, dtype=np.float64)
         labels = np.asarray(labels)
         if valid is not None:
-            arr = arr[np.asarray(valid, dtype=bool)]
-            labels = labels[np.asarray(valid, dtype=bool)]
-        size = arr.shape[0]
-        probs = 1.0 / (1.0 + np.exp(-arr))
+            keep = np.asarray(valid, dtype=bool)
+            probs = probs[keep]
+            labels = labels[keep]
+        size = probs.shape[0]
         self.predictions[self.index : self.index + size] = probs
         self.ground_truths[self.index : self.index + size] = labels
         self.index += size

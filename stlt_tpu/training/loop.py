@@ -223,6 +223,49 @@ def make_eval_counts_step(model) -> Callable:
     return eval_counts_step
 
 
+def make_eval_probs_step(model) -> Callable:
+    """Forward + ON-DEVICE sigmoid over the ``stlt`` head (the only head the
+    Action Genome evaluator reads, reference evaluation.py:76-83).
+
+    Pairs with ``EvalProbsAccumulator``: mAP needs every prediction host-side,
+    but nothing forces a per-batch fetch of [B, C] f32 logits through the
+    ~70ms-RTT device link — sigmoid probabilities stay on device across the
+    epoch and come back in ONE fetch, mirroring the Something counts path."""
+
+    def eval_probs_step(params: Any, batch: Dict[str, jnp.ndarray]):
+        model_inputs = {
+            k: v for k, v in batch.items() if k not in ("labels", "valid")
+        }
+        logits = model.apply({"params": params}, model_inputs, deterministic=True)
+        probs = jax.nn.sigmoid(logits["stlt"].astype(jnp.float32))
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(probs.shape[0], bool)
+        # Labels/valid ride along REPLICATED (the step's out_sharding), so
+        # multi-process runs can device_get them without extra collectives.
+        return probs, batch["labels"], valid
+
+    return eval_probs_step
+
+
+class EvalProbsAccumulator:
+    """Accumulates per-batch ON-DEVICE (probs, labels, valid) triples across
+    an eval pass; ``flush_into`` performs the single host fetch and feeds the
+    evaluator. The device arrays are tiny ([B, C] f32) — holding an epoch's
+    worth costs a few MB of HBM and saves one ~70ms round trip per batch."""
+
+    def __init__(self):
+        self.items = []
+
+    def add(self, triple) -> None:
+        self.items.append(triple)
+
+    def flush_into(self, evaluator) -> None:
+        for probs, labels, valid in jax.device_get(self.items):
+            evaluator.process_probs(probs, labels, valid=valid)
+        self.items = []
+
+
 class EvalCountAccumulator:
     """Accumulates ``eval_counts_step`` outputs ON DEVICE across an eval
     pass; ``flush_into`` performs the single host fetch (vs one ~70ms-RTT
@@ -254,6 +297,7 @@ class CompiledSteps:
     train_step: Optional[Callable]
     eval_step: Callable
     eval_counts_step: Optional[Callable] = None
+    eval_probs_step: Optional[Callable] = None
     replicated_sharding: Any = None
     _replicate: Optional[Callable] = None
 
@@ -338,6 +382,11 @@ def compile_steps(
         in_shardings=(p_shard, batch_shard),
         out_shardings=replicated,
     )
+    eval_probs_step = jax.jit(
+        make_eval_probs_step(model),
+        in_shardings=(p_shard, batch_shard),
+        out_shardings=replicated,
+    )
 
     return CompiledSteps(
         mesh=mesh,
@@ -347,6 +396,7 @@ def compile_steps(
         train_step=train_step,
         eval_step=eval_step,
         eval_counts_step=eval_counts_step,
+        eval_probs_step=eval_probs_step,
         replicated_sharding=replicated,
         _replicate=jax.jit(lambda x: x, out_shardings=replicated),
     )

@@ -25,6 +25,18 @@ from typing import Any, Optional
 import optax
 from flax import traverse_util
 
+def model_no_decay_names(model: Any) -> tuple:
+    """The model's declared no-weight-decay parameter names.
+
+    Reference semantics (``train_inference_utils.py:44-46``): honor
+    ``model.no_weight_decay()`` iff the model declares it — asked of the
+    model object, never inferred from its name. Only TransformerResnet
+    declares the set in the reference (models.py:282-283); fusion models do
+    NOT, so their pos_embed/cls_token DO decay."""
+    fn = getattr(model, "no_weight_decay", None)
+    return tuple(fn()) if callable(fn) else ()
+
+
 def weight_decay_mask(params: Any, no_decay_names: tuple = ()) -> Any:
     """True where weight decay applies (mirrors add_weight_decay:
     no decay for 1-D params, .bias, and the model's no_weight_decay() set —

@@ -359,20 +359,45 @@ def _is_position_table(path: Tuple[str, ...], got, expected) -> bool:
     )
 
 
-def resize_position_table(table: np.ndarray, rows: int) -> np.ndarray:
-    """Linearly resample a learned ``[rows_old, H]`` position table to ``rows``.
+def resize_position_table(
+    table: np.ndarray, rows: int, mode: str = "interpolate"
+) -> np.ndarray:
+    """Resample a learned ``[rows_old, H]`` position table to ``rows``.
 
     The reference pins the layout position table to 256 frames
     (``src/modelling/configs.py:109``) and crashes beyond it; this framework
     grows the table with the padded frame axis (``configs.position_table_rows``)
-    so >255-frame clips run. Checkpoints trained at one length load at another
-    via ViT-style align-corners linear interpolation over the frame index —
-    row 0 and the last row are preserved exactly.
+    so >255-frame clips run.
+
+    ``mode="interpolate"`` (default): ViT-style align-corners linear
+    interpolation over the frame index — row 0 and the last row are preserved
+    exactly, the table's *relative* temporal structure is stretched. This is
+    the right choice when the new clip length re-spans the same video (the
+    sampler picks frames proportionally, so frame i of a 512-frame clip sits
+    where frame ~i/2 of a 256-frame clip did).
+
+    ``mode="extend"`` (grow-only): rows ``0..rows_old-1`` are kept EXACTLY and
+    the tail repeats the last learned row — preserves absolute temporal
+    positions for the learned prefix, at the cost of an uninformative tail
+    until fine-tuned. The right choice when existing positions must keep
+    their learned meaning (e.g. fine-tuning at a longer length where early
+    frames still mean "early by absolute index").
     """
     table = np.asarray(table)
     old = table.shape[0]
     if old == rows:
         return table
+    if mode == "extend":
+        if rows < old:
+            raise ValueError(
+                f"mode='extend' only grows tables ({old} -> {rows} shrinks); "
+                "use mode='interpolate'"
+            )
+        return np.concatenate(
+            [table, np.repeat(table[-1:], rows - old, axis=0)], axis=0
+        )
+    if mode != "interpolate":
+        raise ValueError(f"unknown resize mode {mode!r}")
     if old < 2:
         raise ValueError(f"cannot resample a {old}-row position table")
     # Fractional source index for each target row (endpoints align).

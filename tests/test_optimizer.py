@@ -94,3 +94,42 @@ def test_freeze_backbone_blocks_all_backbone_updates():
     flat = traverse_util.flatten_dict(updates)
     assert np.abs(flat[("backbone", "linear1", "kernel")]).max() == 0.0
     assert np.abs(flat[("head", "fc", "kernel")]).max() > 0
+
+
+def test_model_declared_no_decay_is_honored():
+    """train.py asks the MODEL for its no-decay set (reference hasattr
+    semantics, train_inference_utils.py:44-46) — a hypothetical future model
+    declaring no_weight_decay() must be honored without any name gate."""
+    from stlt_tpu.training.optimizer import model_no_decay_names
+
+    class DeclaringModel:
+        @staticmethod
+        def no_weight_decay():
+            return {"my_special_table"}
+
+    class PlainModel:
+        pass
+
+    assert model_no_decay_names(DeclaringModel()) == ("my_special_table",)
+    assert model_no_decay_names(PlainModel()) == ()
+
+    # The real declaring model in this codebase:
+    from stlt_tpu.configs import AppearanceModelConfig
+    from stlt_tpu.models import models_factory
+
+    cfg = AppearanceModelConfig(
+        num_classes=3, appearance_num_frames=1, resnet_model_path="unused",
+    )
+    names = model_no_decay_names(models_factory["resnet3d-transformer"](cfg))
+    assert sorted(names) == ["cls_token", "pos_embed"]
+
+    # ...and the set flows into the decay mask.
+    params = {
+        "my_special_table": np.zeros((2, 2), np.float32),
+        "kernel": np.zeros((2, 2), np.float32),
+    }
+    mask = traverse_util.flatten_dict(
+        weight_decay_mask(params, model_no_decay_names(DeclaringModel()))
+    )
+    assert mask[("my_special_table",)] is False
+    assert mask[("kernel",)] is True

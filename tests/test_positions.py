@@ -84,6 +84,20 @@ def test_resize_rejects_degenerate_table():
         resize_position_table(np.zeros((1, 4), np.float32), 8)
 
 
+def test_resize_extend_keeps_learned_rows_exact():
+    """mode='extend': learned prefix preserved bit-for-bit, tail repeats the
+    last row (absolute-position semantics for fine-tuning at a new length)."""
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(6, 4)).astype(np.float32)
+    grown = resize_position_table(table, 9, mode="extend")
+    assert grown.shape == (9, 4)
+    np.testing.assert_array_equal(grown[:6], table)
+    for row in grown[6:]:
+        np.testing.assert_array_equal(row, table[-1])
+    with pytest.raises(ValueError, match="only grows"):
+        resize_position_table(table, 4, mode="extend")
+
+
 # --- position_table_rows ---------------------------------------------------
 
 

@@ -62,11 +62,25 @@ def test_train_produces_checkpoints(trained):
     assert int(np.asarray(state.step)) == 4
 
 
+def test_train_result_epoch_records(trained):
+    """train() returns machine-readable per-epoch telemetry (the surface
+    bench.py consumes — no log scraping anywhere)."""
+    *_, result = trained
+    assert len(result.epochs) == 2
+    for n, rec in enumerate(result.epochs):
+        assert rec["epoch"] == n + 1
+        assert rec["steps"] == 2  # 8 videos // batch 4
+        assert rec["train_seconds"] > 0
+        assert rec["eval_seconds"] > 0
+        assert np.isfinite(rec["train_loss"])
+        assert "stlt_top1_accuracy" in rec["metrics"]
+        assert isinstance(rec["is_best"], bool)
+    assert result.epochs[0]["is_best"]  # first epoch always beats 0.0
+
+
 def test_train_loss_decreases_over_longer_run(tmp_path):
     """Overfit 4 clips for several epochs; loss must drop significantly."""
     from stlt_tpu.train import train
-
-    import logging
 
     tmpdir = str(tmp_path)
     paths, *_ = make_something_fixture(
@@ -77,21 +91,7 @@ def test_train_loss_decreases_over_longer_run(tmp_path):
         epochs=30, learning_rate="3e-3", model_parallel=1, hidden_dropout_prob="0.0",
     )
 
-    records = []
-
-    class Grab(logging.Handler):
-        def emit(self, record):
-            records.append(record.getMessage())
-
-    root = logging.getLogger()
-    root.setLevel(logging.INFO)  # pytest pre-configures logging; basicConfig no-ops
-    root.addHandler(Grab())
-    train(args)
-    losses = [
-        float(m.split("train loss ")[1].split(" ")[0])
-        for m in records
-        if "train loss" in m
-    ]
+    losses = [rec["train_loss"] for rec in train(args).epochs]
     assert len(losses) == 30
     # stochastic frame re-sampling + dropout make per-epoch loss noisy;
     # compare the mean of the first vs last five epochs
