@@ -255,12 +255,137 @@ def bench_stlt_train():
     }
 
 
+def bench_long_context_train():
+    """TRAIN step at 512 frames (beyond the reference ceiling): full fused
+    step (fwd + blockwise Pallas bwd + in-kernel hashed dropout + AdamW) on
+    synthetic data, dropout ON. The round-3 capability row: before the
+    KV-loop backward, training at this length materialized [B, N, T, S]
+    probability tensors."""
+    import jax.numpy as jnp
+
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.training.criterion import make_criterion
+    from stlt_tpu.training.loop import create_train_state, make_train_step
+    from stlt_tpu.training.optimizer import make_optimizer
+
+    config = StltModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        layout_num_frames=513,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](config)
+    bs = 16
+    batch = jax.device_put(_synthetic_layout_batch(bs, 513, 8, 4))
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    tx = make_optimizer(
+        params, learning_rate=5e-5, weight_decay=1e-3, clip_val=5.0,
+        num_warmup_steps=100, num_training_steps=1000,
+    )
+    state = jax.device_put(create_train_state(params, tx))
+    step = jax.jit(
+        make_train_step(model, tx, make_criterion("something")),
+        donate_argnums=(0,),
+    )
+    seed = np.uint32(1)
+
+    state, loss = step(state, batch, seed)  # compile + warm
+    _ = np.asarray(loss)
+
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            state, loss = step(state, batch, seed)
+        _ = np.asarray(loss)
+        return time.perf_counter() - t0
+
+    timed(1)
+    n_short, n_long, reps = 2, 10, 3
+    t_short = min(timed(n_short) for _ in range(reps))
+    t_long = min(timed(n_long) for _ in range(reps))
+    per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    clips = bs / per_step
+    return {
+        "metric": f"stlt_train_512frames_clips_per_sec_chip (bf16+pallas, dropout on, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
+def bench_cacnf_train():
+    """The REAL multimodal train CLI at full model scale (R3D-50 @ 112px,
+    32 frames, layout + fusion): host JPEG pipeline (native decode + uint8
+    device ship) + donated jit step. The paper's headline model — the known
+    real-world bottleneck is the single-core host decode (SURVEY §7);
+    bench on an IDLE host."""
+    import tempfile
+
+    from stlt_tpu.parser import build_parser
+    from stlt_tpu.train import train
+    from tests.fixtures import make_something_fixture, make_video_hdf5
+
+    bs, n_videos = 32, 256
+    with tempfile.TemporaryDirectory() as tmpdir:
+        paths, _videos, _labels, sizes = make_something_fixture(
+            tmpdir, num_videos=n_videos, seed=0
+        )
+        videos_path = make_video_hdf5(
+            tmpdir, sizes, num_frames=40, seed=0, full_size=True
+        )
+        argv = [
+            "--dataset_name", "something",
+            "--dataset_type", "multimodal",
+            "--model_name", "cacnf",
+            "--train_dataset_path", paths["dataset_path"],
+            "--val_dataset_path", paths["dataset_path"],
+            "--labels_path", paths["labels_path"],
+            "--videoid2size_path", paths["videoid2size_path"],
+            "--videos_path", videos_path,
+            "--batch_size", str(bs),
+            "--epochs", "3",
+            "--warmup_epochs", "1",
+            "--learning_rate", "1e-4",
+            "--compute_dtype", "bfloat16",
+            "--use_pallas",
+            "--native_decode",
+            "--device_normalize",
+            "--num_workers", "2",
+            "--save_model_path", f"{tmpdir}/best.msgpack",
+        ]
+        result = train(build_parser("bench").parse_args(argv))
+
+    rates = [
+        r["steps"] * bs / max(r["train_seconds"], 1e-9)
+        for r in result.epochs
+    ]
+    assert len(rates) >= 2, result.epochs
+    clips = max(rates[1:])
+    return {
+        "metric": f"cacnf_train_clips_per_sec_chip (REAL CLI loop, R3D-50@112px, native decode, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
 WORKLOADS = {
     "stlt_eval": bench_stlt_eval,
     "stlt_train": bench_stlt_train,
     "cacnf": bench_cacnf,
+    "cacnf_train": bench_cacnf_train,
     "long_context": bench_long_context,
     "long_context_512": bench_long_context_512,
+    "long_context_train": bench_long_context_train,
 }
 
 

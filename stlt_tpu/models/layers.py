@@ -127,31 +127,51 @@ class MultiHeadAttention(nn.Module):
         apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
         if apply_prob_dropout:
             # PyTorch MHA applies dropout to the normalized softmax weights.
-            # The keep mask is sampled HERE (outside the kernel) so the
-            # Pallas-fused and XLA paths share one stream, and the custom-vjp
-            # backward recomputes with the identical mask. Reading the bf16
-            # mask costs 2 bytes/prob vs the old path's f32 probability
-            # materialization (4B write + 4B read) — the train step keeps
-            # probabilities out of HBM entirely under use_pallas.
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"),
-                1.0 - self.dropout_rate,
-                (B, N, T, S),
-            ).astype(v.dtype)
-            if ring_mesh is not None:
-                from stlt_tpu.ops.ring import ring_attention
+            from stlt_tpu.ops.flash import _BLOCKWISE_MIN_SEQ
 
-                out = ring_attention(
-                    q, k, v, bias, ring_mesh,
-                    dropout_mask=keep, dropout_rate=self.dropout_rate,
-                )
-            else:
+            use_seed = (
+                self.use_pallas
+                and ring_mesh is None
+                and max(T, S) >= _BLOCKWISE_MIN_SEQ
+            )
+            if use_seed:
+                # Long-context kernel path: the keep bits are HASHED INSIDE
+                # the kernels from a per-call seed — the O(T²) [B, N, T, S]
+                # mask buffer never exists (fwd AND bwd regenerate the same
+                # bits from the counter hash; ops/flash.py).
+                seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
                 out = dot_product_attention(
                     q, k, v, bias,
-                    use_pallas=self.use_pallas,
-                    dropout_mask=keep,
+                    use_pallas=True,
+                    dropout_seed=seed,
                     dropout_rate=self.dropout_rate,
                 )
+            else:
+                # Short sequences: the mask is small; sampling it HERE keeps
+                # the Pallas-fused and XLA paths on one stream, and the
+                # custom-vjp backward recomputes with the identical mask.
+                # Reading the bf16 mask costs 2 bytes/prob vs f32 probability
+                # materialization (4B write + 4B read) — the train step keeps
+                # probabilities out of HBM under use_pallas.
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    1.0 - self.dropout_rate,
+                    (B, N, T, S),
+                ).astype(v.dtype)
+                if ring_mesh is not None:
+                    from stlt_tpu.ops.ring import ring_attention
+
+                    out = ring_attention(
+                        q, k, v, bias, ring_mesh,
+                        dropout_mask=keep, dropout_rate=self.dropout_rate,
+                    )
+                else:
+                    out = dot_product_attention(
+                        q, k, v, bias,
+                        use_pallas=self.use_pallas,
+                        dropout_mask=keep,
+                        dropout_rate=self.dropout_rate,
+                    )
         elif ring_mesh is not None:
             from stlt_tpu.ops.ring import ring_attention
 

@@ -78,12 +78,26 @@ def dot_product_attention(
     use_pallas: bool = False,
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Dispatch between the fused Pallas kernel and the XLA reference path."""
+    """Dispatch between the fused Pallas kernel and the XLA reference path.
+
+    ``dropout_seed`` (kernel path only) hashes the keep bits in-kernel —
+    no [B, N, T, S] mask buffer anywhere; see flash.flash_attention. On the
+    XLA path a seed is materialized via ``hash_keep_mask`` (tests only —
+    production XLA callers pass a mask)."""
     if use_pallas:
         from stlt_tpu.ops.flash import flash_attention
 
         return flash_attention(
-            q, k, v, bias=bias, dropout_mask=dropout_mask, dropout_rate=dropout_rate
+            q, k, v, bias=bias, dropout_mask=dropout_mask,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        )
+    if dropout_seed is not None and dropout_mask is None:
+        from stlt_tpu.ops.flash import hash_keep_mask
+
+        B, T, N, _ = q.shape
+        dropout_mask = hash_keep_mask(
+            dropout_seed, B, N, T, k.shape[1], dropout_rate
         )
     return dot_product_attention_reference(q, k, v, bias, dropout_mask, dropout_rate)

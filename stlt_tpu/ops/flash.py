@@ -21,14 +21,27 @@ Bias convention everywhere: additive f32, broadcastable to [B, N, T, S];
 masked entries use a large-negative finite value (NaN-free by construction —
 the causal mask semantics of reference ``utils/model_utils.py:4-7``).
 
-Backward: ``custom_vjp`` recomputes through the XLA reference path (cheap at
-these sizes and numerically identical); the kernel serves the
-forward/serving path. Kernel-vs-reference numerics: tests/test_flash_kernel.py.
+Backward:
+
+- short sequences: ``custom_vjp`` recomputes through the XLA reference path
+  (cheap at these sizes and numerically identical — the [T, S] probability
+  tile is small);
+- blockwise-dispatched sequences: a pair of KV-loop Pallas kernels (dq with
+  the KV loop innermost; dk/dv with the Q loop innermost) recompute each
+  probability block from the forward's saved logsumexp, so the [B, N, T, S]
+  probability tensor never exists in HBM during TRAINING either — the
+  long-context memory story holds end to end, not just for eval
+  (tests/test_flash_kernel.py asserts grad parity at T=S>=513 and
+  tests/test_long_context_memory.py asserts the compiled train step's HBM
+  drop vs the recompute backward).
+
+Kernel-vs-reference numerics: tests/test_flash_kernel.py.
 """
 
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -39,12 +52,93 @@ from jax.experimental.pallas import tpu as pltpu
 from stlt_tpu.ops.attention import dot_product_attention_reference
 
 
+# --- counter-based in-kernel dropout bits -----------------------------------
+#
+# The train path's attention-probability dropout needs one keep-bit per
+# (b, n, t, s). Round 2 sampled a [B, N, T, S] mask on the host side of the
+# kernel and shipped it through HBM every step — O(T²) bytes, the next
+# long-context blocker after the blockwise backward. Instead, the kernels
+# derive the bit from a COUNTER-BASED HASH of (seed, b, n, t, s): stateless,
+# identical in forward and both backward kernels by construction (no stream
+# to keep aligned), platform-independent (plain uint32 VPU ops — unlike
+# pltpu.prng_random_bits, which the CPU interpreter stubs to zeros), and
+# reconstructible in XLA (`hash_keep_mask`) so tests can compare the fused
+# kernel against the reference path bit-for-bit. The mix is lowbias32
+# (a full-avalanche 32-bit permutation); keep = hash >= rate·2³².
+
+
+def _lowbias32(x):
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_thresh(rate: float) -> int:
+    # Plain Python int: it travels into kernels as a static closure literal
+    # (a captured jax array would trip pallas's no-captured-constants rule).
+    return min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def _keep_block(seed, b0, n, t0, s0, shape, num_heads, s_total, thresh):
+    """Keep-mask block [rb, tb, sb] (f32 0/1) for global offsets (b0, t0, s0),
+    head n. ``s_total`` is the UNPADDED key length — the element counter is
+    t·S + s, so padded tails merely collide into sliced-off rows."""
+    rb, tb, sb = shape
+    b_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(b0)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(t0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2) + jnp.uint32(s0)
+    lane = _lowbias32((b_ids * jnp.uint32(num_heads) + jnp.uint32(n)) ^ seed)
+    h = _lowbias32((rows * jnp.uint32(s_total) + cols) ^ lane)
+    return (h >= jnp.uint32(thresh)).astype(jnp.float32)
+
+
+def hash_keep_mask(seed, B, N, T, S, rate):
+    """XLA reconstruction of the kernels' in-kernel dropout bits:
+    [B, N, T, S] f32 0/1. Used by the short-path backward (where the mask is
+    small) and by parity tests; NOT materialized on the blockwise path."""
+    seed = jnp.asarray(seed, jnp.uint32)
+    thresh = _dropout_thresh(rate)
+    bn = (
+        jnp.arange(B, dtype=jnp.uint32)[:, None] * jnp.uint32(N)
+        + jnp.arange(N, dtype=jnp.uint32)[None, :]
+    )
+    lane = _lowbias32(bn ^ seed)  # [B, N]
+    ctr = (
+        jnp.arange(T, dtype=jnp.uint32)[:, None] * jnp.uint32(S)
+        + jnp.arange(S, dtype=jnp.uint32)[None, :]
+    )
+    h = _lowbias32(ctr[None, None] ^ lane[:, :, None, None])
+    return (h >= thresh).astype(jnp.float32)
+
+
+def _block_keep_operand(ref, prng, shape, i, n, t_blk, s_blk):
+    """Keep bits for one [rb, tb, sb] block: from the mask operand ``ref``
+    when ``prng`` is None, else hashed in place from the seed operand ``ref``
+    and the block's global coordinates (identical in every kernel that asks
+    for the same coordinates — forward, dq, dk/dv)."""
+    if prng is None:
+        return ref[:, 0].astype(jnp.float32)
+    num_heads, s_total, thresh = prng
+    rb, tb, sb_ = shape
+    return _keep_block(
+        ref[0], i * rb, n, t_blk * tb, s_blk * sb_,
+        shape, num_heads, s_total, thresh,
+    )
+
+
 def _fused_attn_kernel(
-    q_ref, k_ref, v_ref, bias_ref, *rest, scale: float, dropout_scale: float = 0.0
+    q_ref, k_ref, v_ref, bias_ref, *rest, scale: float,
+    dropout_scale: float = 0.0, prng: Optional[tuple] = None,
 ):
     # q_ref: [Rb, 1, T, D]; k_ref/v_ref: [Rb, 1, S, D]; bias_ref: [Rb, 1, T, S]
-    # With dropout: rest = (mask_ref [Rb, N?, T, S], o_ref), else (o_ref,).
-    if dropout_scale:
+    # Dropout: either a mask operand (rest = (mask_ref, o_ref)) or in-kernel
+    # hash bits (prng = (num_heads, s_total, thresh); rest = (seed_ref, o_ref)).
+    if dropout_scale and prng is not None:
+        seed_ref, o_ref = rest
+    elif dropout_scale:
         mask_ref, o_ref = rest
     else:
         (o_ref,) = rest
@@ -63,7 +157,16 @@ def _fused_attn_kernel(
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     if dropout_scale:
         # PyTorch MHA drops NORMALIZED probabilities, scaled by 1/(1-rate).
-        probs = probs * (mask_ref[:, 0].astype(jnp.float32) * dropout_scale)
+        if prng is not None:
+            num_heads, s_total, thresh = prng
+            rb, t, s = probs.shape
+            keep = _keep_block(
+                seed_ref[0], pl.program_id(0) * rb, pl.program_id(1), 0, 0,
+                (rb, t, s), num_heads, s_total, thresh,
+            )
+        else:
+            keep = mask_ref[:, 0].astype(jnp.float32)
+        probs = probs * (keep * dropout_scale)
     out = jax.lax.dot_general(
         probs,
         v,
@@ -83,13 +186,30 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
     loop (2560 vs 2926 clips/s at B=512), so the masked path keeps 1 MB.
     The residual eval cost is the per-row mini-matmul issue rate (B·N·2 MXU
     ops), which block-diagonal clip packing does NOT fix (measured 11.1 ms
-    at every pack factor — see PERF_NOTES)."""
+    at every pack factor — see PERF_NOTES).
+
+    The caller PADS the row axis to a multiple of the returned block (the
+    padded rows are sliced off after the call), so awkward row counts no
+    longer silently degrade to rb=1 (round-2 weakness: CLI batch 1000 →
+    17000 rows walked the old divisor search down to 8). Within
+    [target/2, target] the block minimizing pad waste is chosen — e.g.
+    17000 rows → rb=100 with zero padding."""
     bytes_per_row = (2 * t * d + 2 * s * d + 2 * t * s) * 4
     target = (1 if masked else 4) * 1024 * 1024
-    rb = max(1, target // max(bytes_per_row, 1))
-    rb = min(rb, rows)
-    while rows % rb:
-        rb -= 1
+    rb0 = max(1, min(target // max(bytes_per_row, 1), rows))
+    # (pad waste, prefer larger block) over the half-to-full target range.
+    rb = min(range(max(1, rb0 // 2), rb0 + 1), key=lambda r: ((-rows) % r, -r))
+    pad = (-rows) % rb
+    logging.debug(
+        "flash row block: rows=%d t=%d s=%d -> rb=%d (pad %d rows)",
+        rows, t, s, rb, pad,
+    )
+    if pad * 20 > rows:
+        logging.warning(
+            "flash row block %d pads %d->%d rows (>5%% wasted compute); "
+            "consider a batch size whose row count divides more evenly",
+            rb, rows, rows + pad,
+        )
     return rb
 
 
@@ -100,25 +220,48 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
 # 370 vs 509 clips/s on the 256-frame workload before this threshold).
 _BLOCKWISE_MIN_SEQ = 513
 _Q_BLOCK = 128
-# KV-loop block: measured at the 512-frame workload (S=514): 128 → 176
-# clips/s, 256 → 207, 384 → 228, 512 → 224. The KV-loop iteration overhead
-# outweighs pad-waste here (384 pads 514→768 keys yet beats 128's 640), so
-# prefer fewer, larger KV steps; 512 starts losing to its 1024-key padding.
-_KV_BLOCK = 384
 _NEG_INF = -1e30  # finite: exp(-1e30 - m) == 0 without inf-inf NaNs
+
+
+def _pick_kv_block(s: int) -> int:
+    """Shape-keyed KV block choice (replaces a frozen constant).
+
+    Measured at the 512-frame workload (S=514): 128 → 176 clips/s, 256 →
+    207, 384 → 228, 512 → 224. The KV-loop iteration overhead outweighs
+    pad-waste (384 pads 514→768 keys yet beats 128's 640), so prefer fewer,
+    larger KV steps — UNTIL the block's padding blows past ~1.55× the real
+    key count (512's 514→1024 = 1.99× loses to 384). The rule reproduces
+    every measured ranking and generalizes it to shapes the constant was
+    never tuned for; the choice is logged so odd shapes are diagnosable."""
+    candidates = (512, 384, 256, 128)
+    for b in candidates:
+        padded = -(s // -b) * b
+        if padded <= 1.55 * s:
+            choice = b
+            break
+    else:
+        choice = min(candidates, key=lambda b: -(s // -b) * b)
+    logging.debug("flash kv block: S=%d -> %d", s, choice)
+    return choice
 
 
 def _blockwise_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest,
-    scale: float, num_kv_blocks: int, dropout_scale: float = 0.0
+    scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
+    prng: Optional[tuple] = None,
 ):
     # q_ref: [Rb, 1, Tb, D]; k_ref/v_ref: [Rb, 1, Sb, D];
     # bias_ref: [Rb, 1, Tb, Sb]; scratch m/l: [Rb, Tb], acc: [Rb, Tb, D].
-    # With dropout: rest = (mask_ref, o_ref, m, l, acc), else (o_ref, m, l, acc).
-    if dropout_scale:
-        mask_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    # Outputs: o_ref [Rb, 1, Tb, D] and lse_ref [Rb, 1, Tb, 1] (the row
+    # logsumexp the blockwise BACKWARD recomputes probabilities from).
+    # Dropout: mask operand (rest = (mask_ref, ...)) or in-kernel hash bits
+    # (prng = (num_heads, s_total, thresh); rest = (seed_ref, ...)).
+    if dropout_scale and prng is not None:
+        seed_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    elif dropout_scale:
+        mask_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     sb = pl.program_id(3)
 
     @pl.when(sb == 0)
@@ -145,7 +288,10 @@ def _blockwise_attn_kernel(
     l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1)
     pv = p
     if dropout_scale:
-        pv = p * (mask_ref[:, 0].astype(jnp.float32) * dropout_scale)
+        pv = p * (_block_keep_operand(
+            rest[0], prng, p.shape, pl.program_id(0), pl.program_id(1),
+            pl.program_id(2), sb,
+        ) * dropout_scale)
     acc_ref[...] = acc_ref[...] * corr[..., None] + jax.lax.dot_general(
         pv, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -156,6 +302,7 @@ def _blockwise_attn_kernel(
     @pl.when(sb == num_kv_blocks - 1)
     def _finish():
         o_ref[:, 0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
+        lse_ref[:, 0, :, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
@@ -168,9 +315,12 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0):
+def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
+                       seed=None, dropout_rate=0.0):
     """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias_arr: [B, bn, T, S];
-    mask (optional): [B, mn, T, S] 0/1 attention-dropout keep mask."""
+    dropout via EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed``
+    (uint32 scalar → in-kernel hash bits; nothing [T, S] ships from HBM).
+    Returns (out [B, N, T, D], lse [B, N, T] row logsumexp)."""
     B, N, T, D = qt.shape
     S = kt.shape[2]
     scale = 1.0 / (D ** 0.5)
@@ -179,7 +329,7 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0):
     # Q blocks need only sublane (x8) alignment, so pick the multiple-of-8
     # size minimizing row padding (largest such block on ties); KV blocks
     # are the lane dim of the bias/mask tiles and must stay x128.
-    sb = min(_KV_BLOCK, S)
+    sb = min(_pick_kv_block(S), S)
     tb = min(
         range(8, _Q_BLOCK + 1, 8),
         key=lambda t: (-(T // -t) * t - T, -t),  # (ceil-pad waste, prefer big)
@@ -221,24 +371,36 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0):
     out_spec = pl.BlockSpec(
         (rb, 1, tb, D), lambda i, n, t, s: (i, n, t, 0), memory_space=pltpu.VMEM
     )
+    lse_spec = pl.BlockSpec(
+        (rb, 1, tb, 1), lambda i, n, t, s: (i, n, t, 0), memory_space=pltpu.VMEM
+    )
 
     in_specs = [q_spec, kv_spec, kv_spec, nts_spec(bias_n)]
     operands = [qt, kt, vt, bias_arr]
+    prng = None
     if mask is not None:
         in_specs.append(nts_spec(mask.shape[1]))
         operands.append(mask)
+    elif seed is not None:
+        prng = (N, S, _dropout_thresh(dropout_rate))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(seed, (1,)).astype(jnp.uint32))
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _blockwise_attn_kernel,
             scale=scale,
             num_kv_blocks=Sp // sb,
             dropout_scale=dropout_scale,
+            prng=prng,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, Tp, D), out_dtype),
+        out_specs=(out_spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, Tp, D), out_dtype),
+            jax.ShapeDtypeStruct((B, N, Tp, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((rb, tb), jnp.float32),
             pltpu.VMEM((rb, tb), jnp.float32),
@@ -246,7 +408,270 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0):
         ],
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return out[:, :, :T]
+    return out[:, :, :T], lse[:, :, :T, 0]
+
+
+def _blockwise_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
+    scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
+    prng: Optional[tuple] = None,
+):
+    """dq for one (batch-row, head, q-block): KV loop innermost, probability
+    block recomputed from the forward's saved logsumexp — nothing [T, S]
+    ever leaves VMEM. Math (see _blockwise_backward): with keepc the scaled
+    keep mask, dp = (dO Vᵀ)∘keepc, dz = p∘(dp − rowsum(dO∘O)), dq = dz K·scale.
+    """
+    if dropout_scale:
+        _keep_src, dq_ref, acc_ref = rest
+    else:
+        dq_ref, acc_ref = rest
+    sb = pl.program_id(3)
+
+    @pl.when(sb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
+    k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
+    v = v_ref[:, 0].astype(jnp.float32)
+    do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
+    lse = lse_ref[:, 0, :, 0]                # [rb, tb]
+    dsum = dsum_ref[:, 0, :, 0]
+
+    z = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[:, 0].astype(jnp.float32)
+    p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]; <= 1 by lse >= m
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_scale:
+        dp = dp * (_block_keep_operand(
+            _keep_src, prng, p.shape, pl.program_id(0), pl.program_id(1),
+            pl.program_id(2), sb,
+        ) * dropout_scale)
+    dz = p * (dp - dsum[..., None])
+    acc_ref[...] += jax.lax.dot_general(
+        dz, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(sb == num_kv_blocks - 1)
+    def _finish():
+        dq_ref[:, 0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _blockwise_dkdv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
+    scale: float, num_q_blocks: int, dropout_scale: float = 0.0,
+    prng: Optional[tuple] = None,
+):
+    """dk/dv for one (batch-row, head, kv-block): Q loop innermost.
+    dv = (p∘keepc)ᵀ dO; dk = dzᵀ Q·scale with dz as in the dq kernel."""
+    if dropout_scale:
+        _keep_src, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
+    tb_i = pl.program_id(3)
+
+    @pl.when(tb_i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
+        dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
+
+    q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
+    k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
+    v = v_ref[:, 0].astype(jnp.float32)
+    do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
+    lse = lse_ref[:, 0, :, 0]                # [rb, tb]
+    dsum = dsum_ref[:, 0, :, 0]
+
+    z = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[:, 0].astype(jnp.float32)
+    p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]
+    pv = p
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_scale:
+        # Grid here is (i, n, s-block, t-block) — pass the GLOBAL (t, s)
+        # block coordinates so the hash matches the forward/dq kernels.
+        keepc = _block_keep_operand(
+            _keep_src, prng, p.shape, pl.program_id(0), pl.program_id(1),
+            tb_i, pl.program_id(2),
+        ) * dropout_scale
+        pv = p * keepc
+        dp = dp * keepc
+    # dv += pvᵀ dO: contract the q dimension (axis 1 of both).
+    dv_acc[...] += jax.lax.dot_general(
+        pv, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dz = p * (dp - dsum[..., None])
+    dk_acc[...] += jax.lax.dot_general(
+        dz, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(tb_i == num_q_blocks - 1)
+    def _finish():
+        dk_ref[:, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[:, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
+                        dropout_scale=0.0, seed=None, dropout_rate=0.0):
+    """KV-loop Pallas backward (long-context train path).
+
+    All activation-shaped tensors are [B, N, T/S, D] (head-major); bias_arr
+    [B, bn, T, S]; mask [B, mn, T, S] or None; lse [B, N, T] from the
+    forward. Derivation: out = (p∘keepc)V with p = softmax(z) recomputable
+    as exp(z − lse); rowsum((dO Vᵀ)∘keepc∘p) = rowsum(dO∘out), so the
+    softmax-backward row term is the cheap [B, N, T] dsum — the same trick
+    as FlashAttention-2, composed with PyTorch-style probability dropout
+    (keepc includes the 1/(1−rate) scale, and the softmax denominator is
+    dropout-free). Padded Q rows carry dO = 0 (no dk/dv pollution); padded
+    KV columns carry bias −1e30 (p = 0)."""
+    B, N, T, D = qt.shape
+    S = kt.shape[2]
+    scale = 1.0 / (D ** 0.5)
+
+    dsum = jnp.sum(dOt.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1)
+
+    sb = min(_pick_kv_block(S), S)
+    tb = min(
+        range(8, _Q_BLOCK + 1, 8),
+        key=lambda t: (-(T // -t) * t - T, -t),
+    )
+    qt = _pad_to(qt, 2, tb)
+    dOt = _pad_to(dOt, 2, tb)
+    kt = _pad_to(kt, 2, sb)
+    vt = _pad_to(vt, 2, sb)
+    bias_arr = _pad_to(bias_arr, 3, sb, value=_NEG_INF)
+    bias_arr = _pad_to(bias_arr, 2, tb, value=0.0)
+    if mask is not None:
+        mask = _pad_to(_pad_to(mask, 3, sb), 2, tb)
+    lse4 = _pad_to(lse[..., None], 2, tb)  # [B, N, Tp, 1]
+    dsum4 = _pad_to(dsum[..., None], 2, tb)
+    Tp, Sp = qt.shape[2], kt.shape[2]
+    bias_n = bias_arr.shape[1]
+    rb = 1
+    interpret = jax.default_backend() == "cpu"
+
+    def row_spec(seq, order):
+        # order: "t" blocks follow the q-block grid dim, "s" the kv dim.
+        if order == "t":
+            return pl.BlockSpec(
+                (rb, 1, seq, D), lambda i, n, a, b: (i, n, a, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (rb, 1, seq, D), lambda i, n, a, b: (i, n, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def scalar_spec(order):
+        if order == "t":
+            return pl.BlockSpec(
+                (rb, 1, tb, 1), lambda i, n, a, b: (i, n, a, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (rb, 1, tb, 1), lambda i, n, a, b: (i, n, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def nts_spec(n_dim, order):
+        # bias/mask [*, *, T, S] blocks; grid dims (i, n, a, b) where the
+        # (t, s) block index is (a, b) for the dq grid, (b, a) for dk/dv.
+        if order == "ts":
+            idx = lambda i, n, a, b: (i, 0, a, b)
+            idx_n = lambda i, n, a, b: (i, n, a, b)
+        else:
+            idx = lambda i, n, a, b: (i, 0, b, a)
+            idx_n = lambda i, n, a, b: (i, n, b, a)
+        return pl.BlockSpec(
+            (rb, 1, tb, sb), idx if n_dim == 1 else idx_n,
+            memory_space=pltpu.VMEM,
+        )
+
+    # --- dq: grid (B, N, q-blocks, kv-blocks), kv innermost -----------------
+    in_specs = [
+        row_spec(tb, "t"),            # q
+        row_spec(sb, "s"),            # k
+        row_spec(sb, "s"),            # v
+        nts_spec(bias_n, "ts"),       # bias
+        scalar_spec("t"),             # lse
+        scalar_spec("t"),             # dsum
+        row_spec(tb, "t"),            # dO
+    ]
+    operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
+    prng = None
+    seed_arr = None
+    if mask is not None:
+        in_specs.append(nts_spec(mask.shape[1], "ts"))
+        operands.append(mask)
+    elif seed is not None:
+        prng = (N, S, _dropout_thresh(dropout_rate))
+        seed_arr = jnp.reshape(seed, (1,)).astype(jnp.uint32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed_arr)
+    dq = pl.pallas_call(
+        functools.partial(
+            _blockwise_dq_kernel,
+            scale=scale, num_kv_blocks=Sp // sb, dropout_scale=dropout_scale,
+            prng=prng,
+        ),
+        grid=(B, N, Tp // tb, Sp // sb),
+        in_specs=in_specs,
+        out_specs=row_spec(tb, "t"),
+        out_shape=jax.ShapeDtypeStruct((B, N, Tp, D), qt.dtype),
+        scratch_shapes=[pltpu.VMEM((rb, tb, D), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    # --- dk/dv: grid (B, N, kv-blocks, q-blocks), q innermost ---------------
+    in_specs = [
+        row_spec(tb, "s"),            # q   (block follows innermost dim b)
+        row_spec(sb, "t"),            # k   (block follows dim a)
+        row_spec(sb, "t"),            # v
+        nts_spec(bias_n, "st"),       # bias (t index = b, s index = a)
+        scalar_spec("s"),             # lse  (q-row scalar, follows b)
+        scalar_spec("s"),             # dsum
+        row_spec(tb, "s"),            # dO
+    ]
+    operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
+    if mask is not None:
+        in_specs.append(nts_spec(mask.shape[1], "st"))
+        operands.append(mask)
+    elif seed_arr is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed_arr)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _blockwise_dkdv_kernel,
+            scale=scale, num_q_blocks=Tp // tb, dropout_scale=dropout_scale,
+            prng=prng,
+        ),
+        grid=(B, N, Sp // sb, Tp // tb),
+        in_specs=in_specs,
+        out_specs=(row_spec(sb, "t"), row_spec(sb, "t")),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, Sp, D), kt.dtype),
+            jax.ShapeDtypeStruct((B, N, Sp, D), vt.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, sb, D), jnp.float32),
+            pltpu.VMEM((rb, sb, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dq[:, :, :T], dk[:, :, :S], dv[:, :, :S]
 
 
 def flash_attention(
@@ -256,55 +681,85 @@ def flash_attention(
     bias: Optional[jnp.ndarray] = None,
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q: [B, T, N, D]; k, v: [B, S, N, D]; bias broadcastable to
     [B, N, T, S] (given with leading dims of size 1 or matching).
     Returns [B, T, N, D].
 
-    ``dropout_mask`` ([B, N, T, S], 0/1, sampled by the caller) fuses
-    PyTorch-style attention-probability dropout into the kernel: the
-    normalized probabilities are multiplied by mask/(1-rate) before PV, so
-    the train path never materializes probabilities in HBM either (the mask
-    read is 1-2 bytes/element vs an f32 write+read of probs).
+    PyTorch-style attention-probability dropout (drop the NORMALIZED
+    probabilities, scale survivors by 1/(1-rate)) fuses into the kernels two
+    ways — pass at most one of:
+
+    - ``dropout_mask`` ([B, N, T, S], 0/1, sampled by the caller): exact
+      stream parity with the XLA fallback path; the mask read costs 1-2
+      bytes/element vs an f32 probability write+read.
+    - ``dropout_seed`` (uint32 scalar): keep bits are HASHED IN-KERNEL from
+      (seed, b, n, t, s) — no [B, N, T, S] buffer exists anywhere, which is
+      the long-context requirement (the mask itself is O(T²) HBM). The same
+      bits are regenerated by the backward kernels (stateless counter hash),
+      and ``hash_keep_mask`` reconstructs them in XLA for tests/fallback.
     """
+    assert dropout_mask is None or dropout_seed is None
     bias4 = None
     if bias is not None:
         bias4 = jnp.asarray(bias, jnp.float32)
         while bias4.ndim < 4:
             bias4 = bias4[None]
-    return _flash_custom(float(dropout_rate), q, k, v, bias4, dropout_mask)
+    return _flash_custom(
+        float(dropout_rate), q, k, v, bias4, dropout_mask, dropout_seed
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash_custom(dropout_rate, q, k, v, bias4, mask):
-    return _flash_forward(q, k, v, bias4, mask, dropout_rate)
+def _flash_custom(dropout_rate, q, k, v, bias4, mask, seed):
+    return _flash_forward(q, k, v, bias4, mask, dropout_rate, seed)[0]
 
 
-def _flash_forward(q, k, v, bias4, mask, dropout_rate):
+def _broadcast_bias(bias4, B, T, S):
+    if bias4 is None:
+        bias_arr = jnp.zeros((1, 1, T, S), jnp.float32)
+    else:
+        bias_arr = bias4.astype(jnp.float32)
+    # Materialize batch/query/key dims physically (cheap: T·S per batch row),
+    # keep heads collapsed when head-invariant.
+    return jnp.broadcast_to(bias_arr, (B, bias_arr.shape[1], T, S))
+
+
+def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None):
+    """Returns (out, residual): residual is (out_t, lse) head-major on the
+    blockwise path (consumed by the Pallas backward), or None on the
+    short-sequence path (whose backward recomputes through XLA)."""
     B, T, N, D = q.shape
     S = k.shape[1]
     scale = 1.0 / (D ** 0.5)
-    dropout_scale = 1.0 / (1.0 - dropout_rate) if mask is not None else 0.0
+    dropout_on = mask is not None or seed is not None
+    dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
 
     # [B, N, T/S, D]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    if bias4 is None:
-        bias_arr = jnp.zeros((1, 1, T, S), jnp.float32)
-    else:
-        bias_arr = bias4.astype(jnp.float32)
+    bias_arr = _broadcast_bias(bias4, B, T, S)
     bias_n = bias_arr.shape[1]
-    # Materialize batch/query/key dims physically (cheap: T·S per batch row),
-    # keep heads collapsed when head-invariant.
-    bias_arr = jnp.broadcast_to(bias_arr, (B, bias_n, T, S))
 
     if max(T, S) >= _BLOCKWISE_MIN_SEQ:
-        out = _blockwise_forward(qt, kt, vt, bias_arr, mask, dropout_scale)
-        return out.transpose(0, 2, 1, 3)
+        out_t, lse = _blockwise_forward(
+            qt, kt, vt, bias_arr, mask, dropout_scale, seed, dropout_rate
+        )
+        return out_t.transpose(0, 2, 1, 3), (out_t, lse)
 
-    rb = _pick_row_block(B, T, S, D, masked=mask is not None)
-    grid = (B // rb, N)
+    rb = _pick_row_block(B, T, S, D, masked=dropout_on)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        qt = _pad_to(qt, 0, rb)
+        kt = _pad_to(kt, 0, rb)
+        vt = _pad_to(vt, 0, rb)
+        bias_arr = _pad_to(bias_arr, 0, rb)
+        if mask is not None:
+            mask = _pad_to(mask, 0, rb)
+    Bp = B + pad_rows
+    grid = (Bp // rb, N)
 
     def qkv_spec(seq):
         return pl.BlockSpec(
@@ -324,31 +779,72 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate):
 
     in_specs = [qkv_spec(T), qkv_spec(S), qkv_spec(S), nts_spec(bias_n)]
     operands = [qt, kt, vt, bias_arr]
+    prng = None
     if mask is not None:
         in_specs.append(nts_spec(mask.shape[1]))
         operands.append(mask)
+    elif seed is not None:
+        prng = (N, S, _dropout_thresh(dropout_rate))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(seed, (1,)).astype(jnp.uint32))
 
     out = pl.pallas_call(
         functools.partial(
-            _fused_attn_kernel, scale=scale, dropout_scale=dropout_scale
+            _fused_attn_kernel, scale=scale, dropout_scale=dropout_scale,
+            prng=prng,
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=qkv_spec(T),
-        out_shape=jax.ShapeDtypeStruct((B, N, T, D), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, T, D), v.dtype),
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return out.transpose(0, 2, 1, 3)
+    return out[:B].transpose(0, 2, 1, 3), None
 
 
-def _flash_fwd(dropout_rate, q, k, v, bias4, mask):
-    return _flash_forward(q, k, v, bias4, mask, dropout_rate), (q, k, v, bias4, mask)
+def _flash_fwd(dropout_rate, q, k, v, bias4, mask, seed):
+    out, residual = _flash_forward(q, k, v, bias4, mask, dropout_rate, seed)
+    return out, (q, k, v, bias4, mask, seed, residual)
 
 
 def _flash_bwd(dropout_rate, residuals, g):
-    q, k, v, bias4, mask = residuals
-    # Recompute-based backward through the XLA reference (numerically the
-    # same attention, including the dropout mask); cheap at these sizes.
+    q, k, v, bias4, mask, seed, residual = residuals
+    if residual is not None:
+        # Blockwise-dispatched shape: KV-loop Pallas backward — the
+        # [B, N, T, S] probability tensor stays out of HBM in training too.
+        out_t, lse = residual
+        B, T, N, D = q.shape
+        S = k.shape[1]
+        dropout_on = mask is not None or seed is not None
+        dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
+        dq_t, dk_t, dv_t = _blockwise_backward(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            _broadcast_bias(bias4, B, T, S),
+            mask,
+            g.transpose(0, 2, 1, 3),
+            out_t,
+            lse,
+            dropout_scale,
+            seed,
+            dropout_rate,
+        )
+        return (
+            dq_t.transpose(0, 2, 1, 3).astype(q.dtype),
+            dk_t.transpose(0, 2, 1, 3).astype(k.dtype),
+            dv_t.transpose(0, 2, 1, 3).astype(v.dtype),
+            None,
+            None,
+            None,
+        )
+    # Short sequences: recompute-based backward through the XLA reference
+    # (numerically the same attention, including the same dropout bits);
+    # cheap — the [T, S] probability tile is small at these shapes, and so
+    # is the reconstructed hash mask on the seed path.
+    if seed is not None:
+        B, T, N, D = q.shape
+        mask = hash_keep_mask(seed, B, N, T, k.shape[1], dropout_rate)
     _, vjp = jax.vjp(
         lambda q_, k_, v_: dot_product_attention_reference(
             q_, k_, v_, bias4, mask, dropout_rate
@@ -356,7 +852,7 @@ def _flash_bwd(dropout_rate, residuals, g):
         q, k, v,
     )
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_custom.defvjp(_flash_fwd, _flash_bwd)

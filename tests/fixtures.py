@@ -66,9 +66,14 @@ def make_something_fixture(
     return paths, videos, labels, videoid2size
 
 
-def make_video_hdf5(tmpdir, videoid2size, num_frames=12, seed=0, filename="videos.h5"):
+def make_video_hdf5(tmpdir, videoid2size, num_frames=12, seed=0,
+                    filename="videos.h5", full_size=False):
     """Write an HDF5 JPEG-frame archive matching the reference pil2hdf5.py
-    format: one group per video id, one uint8-bytes dataset per frame index."""
+    format: one group per video id, one uint8-bytes dataset per frame index.
+
+    ``full_size=True`` writes frames at the declared video size (realistic
+    JPEG decode cost — used by throughput benchmarks); default quarter-size
+    frames keep test fixtures fast (the decoding path is identical)."""
     import io
 
     import h5py
@@ -79,10 +84,13 @@ def make_video_hdf5(tmpdir, videoid2size, num_frames=12, seed=0, filename="video
     with h5py.File(path, "w", libver="latest") as f:
         for vid, (w, h) in videoid2size.items():
             grp = f.create_group(vid)
-            # small frames keep the fixture fast; decoding path is identical
+            fh, fw = (
+                (h, w) if full_size
+                else (max(h // 4, 40), max(w // 4, 40))
+            )
             for i in range(num_frames):
                 img = Image.fromarray(
-                    rng.integers(0, 255, (max(h // 4, 40), max(w // 4, 40), 3), dtype=np.uint8),
+                    rng.integers(0, 255, (fh, fw, 3), dtype=np.uint8),
                     "RGB",
                 )
                 buf = io.BytesIO()

@@ -177,7 +177,7 @@ def _blockwise_direct(q, k, v, bias=None):
     while bias.ndim < 4:
         bias = bias[None]
     bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, bias.shape[1], T, S))
-    out = _blockwise_forward(
+    out, _lse = _blockwise_forward(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
         bias,
     )
@@ -221,6 +221,7 @@ def test_blockwise_kernel_bf16_and_dispatched_grads():
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
     # gradients through the public entry at a blockwise-dispatched length
+    # (this exercises the KV-loop Pallas BACKWARD kernels, not XLA recompute)
     T = 520
     qf, kf, vf = _rand_qkv(rng, 1, T, T, 1, 8)
     bias = masks.causal_bias(T)
@@ -232,10 +233,33 @@ def test_blockwise_kernel_bf16_and_dispatched_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_blockwise_backward_rectangular_and_weighted_cotangent():
+    """Non-square blockwise-dispatched shape with a non-uniform upstream
+    cotangent (catches dq/dk/dv cross-wiring a .sum() cotangent cannot)."""
+    rng = np.random.default_rng(11)
+    B, T, S, N, D = 2, 130, 640, 2, 16
+    q, k, v = _rand_qkv(rng, B, T, S, N, D)
+    pad = np.zeros((B, S), bool)
+    pad[:, -37:] = True
+    bias = masks.key_padding_bias(jnp.asarray(pad))
+    w = jnp.asarray(rng.normal(size=(B, T, N, D)).astype(np.float32))
+
+    def loss_k(a, b, c):
+        return (flash_attention(a, b, c, bias) * w).sum()
+
+    def loss_r(a, b, c):
+        return (dot_product_attention_reference(a, b, c, bias) * w).sum()
+
+    gk = jax.grad(loss_k, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
 # --- fused attention-probability dropout (train path) ------------------------
 
 
-@pytest.mark.parametrize("T,S", [(9, 9), (17, 33), (257, 257)])
+@pytest.mark.parametrize("T,S", [(9, 9), (17, 33), (257, 257), (520, 520)])
 def test_dropout_mask_kernel_matches_reference(T, S):
     """Same keep-mask through the Pallas kernel and the XLA path, fwd + grad."""
     rng = np.random.default_rng(8)
@@ -285,3 +309,84 @@ def test_train_mode_pallas_matches_xla_exactly():
             )["stlt"]
         )
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=1e-5)
+
+
+# --- in-kernel hashed dropout (long-context train path) ----------------------
+
+
+@pytest.mark.parametrize("T,S", [(48, 48), (520, 520), (130, 640)])
+def test_hashed_dropout_matches_reconstructed_mask(T, S):
+    """dropout_seed path: the kernel hashes keep bits in place; the XLA
+    reference fed hash_keep_mask's reconstruction must match bit-for-bit,
+    forward and gradients (the backward kernels REGENERATE the same bits)."""
+    from stlt_tpu.ops.flash import hash_keep_mask
+
+    rng = np.random.default_rng(13)
+    B, N, D, rate = 2, 2, 16, 0.25
+    q, k, v = _rand_qkv(rng, B, T, S, N, D)
+    bias = masks.causal_bias(T) if T == S else None
+    seed = jnp.uint32(0xABCD1234)
+    keep = hash_keep_mask(seed, B, N, T, S, rate)
+
+    def f_kernel(q, k, v):
+        return flash_attention(q, k, v, bias, dropout_seed=seed, dropout_rate=rate)
+
+    def f_ref(q, k, v):
+        return dot_product_attention_reference(q, k, v, bias, keep, rate)
+
+    np.testing.assert_allclose(
+        np.asarray(f_kernel(q, k, v)), np.asarray(f_ref(q, k, v)),
+        atol=2e-5, rtol=1e-4,
+    )
+    gk = jax.grad(lambda *a: f_kernel(*a).sum(), (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: f_ref(*a).sum(), (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_hashed_dropout_keep_rate_and_decorrelation():
+    """Statistical properties of the counter hash: keep rate within ~3 sigma
+    of 1-rate, different seeds/heads give (near-)independent bits."""
+    from stlt_tpu.ops.flash import hash_keep_mask
+
+    B, N, T, S, rate = 2, 4, 64, 64, 0.3
+    m1 = np.asarray(hash_keep_mask(jnp.uint32(1), B, N, T, S, rate))
+    m2 = np.asarray(hash_keep_mask(jnp.uint32(2), B, N, T, S, rate))
+    n = m1.size
+    sigma = (rate * (1 - rate) / n) ** 0.5
+    assert abs(m1.mean() - (1 - rate)) < 4 * sigma, m1.mean()
+    assert abs(m2.mean() - (1 - rate)) < 4 * sigma, m2.mean()
+    # seeds decorrelate: agreement ~= p^2 + (1-p)^2 for p = keep rate
+    agree = (m1 == m2).mean()
+    expected = (1 - rate) ** 2 + rate ** 2
+    assert abs(agree - expected) < 0.02, agree
+    # heads decorrelate within one seed
+    agree_heads = (m1[:, 0] == m1[:, 1]).mean()
+    assert abs(agree_heads - expected) < 0.02, agree_heads
+    # and the bits are a deterministic function of the seed
+    m1b = np.asarray(hash_keep_mask(jnp.uint32(1), B, N, T, S, rate))
+    np.testing.assert_array_equal(m1, m1b)
+
+
+def test_model_long_context_train_forward_finite():
+    """STLT train-mode forward at a blockwise-dispatched clip length routes
+    dropout through the in-kernel seed path (no [B,N,T,S] mask) and stays
+    finite."""
+    from __graft_entry__ import _synthetic_layout_batch
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
+    batch = _synthetic_layout_batch(2, 513, 4, 4, seed=5)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    cfg = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=2, num_spatial_layers=1, num_temporal_layers=1,
+        layout_num_frames=513, hidden_dropout_prob=0.2, use_pallas=True,
+    )
+    model = models_factory["stlt"](cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    out = model.apply(
+        {"params": params}, inputs,
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)},
+    )["stlt"]
+    assert np.isfinite(np.asarray(out)).all()
