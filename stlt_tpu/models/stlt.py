@@ -84,9 +84,17 @@ class SpatialTransformer(nn.Module):
             batch, deterministic=deterministic
         )
         B, F, O, H = tokens.shape
-        tokens = tokens.reshape(B * F, O, H)
-        pad_bias = masks.key_padding_bias(
-            masks.boxes_padding_mask(batch["categories"]).reshape(B * F, O)
+        from stlt_tpu.parallel.mesh import constrain_folded_rows
+
+        # Fold frames into batch. Under a context mesh, pin the merged
+        # (data×context) row sharding — GSPMD loses it through the reshape,
+        # leaving the whole spatial stage frame-replicated (see
+        # parallel.mesh.constrain_folded_rows).
+        tokens = constrain_folded_rows(tokens.reshape(B * F, O, H))
+        pad_bias = constrain_folded_rows(
+            masks.key_padding_bias(
+                masks.boxes_padding_mask(batch["categories"]).reshape(B * F, O)
+            )
         )
         tokens = TransformerEncoder(
             num_layers=cfg.num_spatial_layers,

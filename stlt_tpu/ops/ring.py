@@ -7,11 +7,25 @@ attention state sharded (SURVEY.md §5 long-context row; the capability the
 reference's 256-entry position table hints at, reference configs.py:109):
 
 - queries stay resident: each device owns its ``T/C`` frame rows;
-- K/V chunks rotate around the ring via ``ppermute`` (C steps, each overlapping
-  the previous step's compute);
-- softmax is accumulated online (running max / sum / accumulator), exactly the
-  blockwise flash decomposition — the ring step IS a KV block step whose
-  "block" lives on another device.
+- K/V chunks rotate around the ring via ``ppermute`` (C steps, each
+  overlapping the previous step's compute);
+- each ring step IS a blockwise-attention call: the per-chunk math runs
+  through the SAME Pallas kernels as single-device long-context attention
+  (``ops.flash._blockwise_forward`` / ``_blockwise_backward``), so no
+  [b, n, t, s] probability block is ever materialized in HBM — per-step
+  partials are merged by the standard normalized-segment rule
+  (lse' = logaddexp, outputs reweighted by exp(lse_i − lse')).
+
+v2 (round 3): the whole per-device ring is wrapped in a ``custom_vjp``. The
+round-2 version let autodiff trace through the fori_loop, which saved every
+ROTATED K/V chunk as a residual — each device effectively stored the full
+K/V sequence for backward, collapsing the memory story to a measured −9%.
+Now the residuals are only the device's OWN shards (q, k₀, v₀, bias rows,
+out, lse — all 1/C-sized), and the backward re-runs the ring: K/V chunks
+rotate again, each step reuses the blockwise backward kernels with the saved
+GLOBAL logsumexp (p = exp(z − lse) is the globally-normalized probability,
+so per-chunk dq/dk/dv contributions sum exactly); dk/dv accumulators travel
+the ring WITH their chunk and arrive home after C steps.
 
 Causal + key-padding semantics match the reference
 (``utils/model_utils.py:4-7``): the caller passes the full additive bias
@@ -29,74 +43,165 @@ inf−inf NaNs.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from stlt_tpu.ops.flash import _blockwise_backward, _blockwise_forward
 from stlt_tpu.parallel.mesh import CONTEXT_AXIS, DATA_AXIS, MODEL_AXIS
 
 _NEG_INF = -1e30
 
 
-def _ring_body(q, k0, v0, bias_rows, mask_rows, *, axis_name: str,
-               mesh_axes: tuple, num_chunks: int, scale: float,
-               dropout_scale: float):
-    """Per-device function under shard_map.
+class _RingStatics(NamedTuple):
+    """Hashable per-call configuration (a custom_vjp nondiff argument)."""
 
-    q: [b, t, n, d] (local rows); k0/v0: [b, s, n, d] (local chunk);
-    bias_rows: [b, 1, t, S_global]; mask_rows: [b, n, t, S_global] or None.
-    """
+    axis_name: str
+    mesh_axes: tuple
+    num_chunks: int
+    dropout_rate: float
+    has_mask: bool
+
+
+def _varying(x, mesh_axes):
+    # The ring's shard_maps run with check_vma=False (pallas_call out_shapes
+    # carry no VMA type, which the checker rejects), so carries need no
+    # pcast-to-varying; kept as a seam in case VMA support lands in pallas.
+    del mesh_axes
+    return x
+
+
+def _chunk_cols(arr, chunk, s):
+    return jax.lax.dynamic_slice_in_dim(arr, chunk * s, s, axis=3)
+
+
+def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
+    """Per-device forward. q: [b, t, n, d]; k0/v0: [b, s, n, d] (home chunk);
+    bias_rows: [b, 1, t, S]; mask_rows: [b, n|1, t, S] or None.
+    Returns (out [b, t, n, d], lse [b, n, t])."""
     b, t, n, d = q.shape
     s = k0.shape[1]
-    idx = jax.lax.axis_index(axis_name)
-    qf = q.astype(jnp.float32)
-
-    perm = [(i, (i + 1) % num_chunks) for i in range(num_chunks)]
+    C = statics.num_chunks
+    dropout_scale = (
+        1.0 / (1.0 - statics.dropout_rate) if statics.has_mask else 0.0
+    )
+    idx = jax.lax.axis_index(statics.axis_name)
+    qt = q.transpose(0, 2, 1, 3)  # [b, n, t, d]
+    perm = [(i, (i + 1) % C) for i in range(C)]
 
     def step(j, carry):
-        k_c, v_c, m, l, acc = carry
-        chunk = (idx - j) % num_chunks  # global chunk id currently held
-        cols = jax.lax.dynamic_slice_in_dim(bias_rows, chunk * s, s, axis=3)
-        logits = (
-            jnp.einsum(
-                "btnd,bsnd->bnts", qf, k_c.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-            + cols.astype(jnp.float32)
+        k_c, v_c, o_r, lse_r = carry
+        chunk = (idx - j) % C
+        cols_b = _chunk_cols(bias_rows, chunk, s)
+        cols_m = _chunk_cols(mask_rows, chunk, s) if statics.has_mask else None
+        # The Pallas blockwise kernel: per-chunk normalized output + lse.
+        o_j, lse_j = _blockwise_forward(
+            qt,
+            k_c.transpose(0, 2, 1, 3),
+            v_c.transpose(0, 2, 1, 3),
+            cols_b,
+            cols_m,
+            dropout_scale,
         )
-        m_new = jnp.maximum(m, logits.max(axis=-1))
-        p = jnp.exp(logits - m_new[..., None])
-        corr = jnp.exp(m - m_new)
-        l = l * corr + p.sum(axis=-1)
-        pv = p
-        if mask_rows is not None:
-            keep = jax.lax.dynamic_slice_in_dim(mask_rows, chunk * s, s, axis=3)
-            pv = p * (keep.astype(jnp.float32) * dropout_scale)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "bnts,bsnd->bntd", pv, v_c.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        # Normalized-segment merge (exact online softmax across chunks).
+        lse_new = jnp.logaddexp(lse_r, lse_j)
+        o_new = (
+            o_r * jnp.exp(lse_r - lse_new)[..., None]
+            + o_j.astype(jnp.float32) * jnp.exp(lse_j - lse_new)[..., None]
         )
         # Rotate even on the last step: K/V land back home, and the permute
-        # overlaps the final accumulation.
-        k_c = jax.lax.ppermute(k_c, axis_name, perm)
-        v_c = jax.lax.ppermute(v_c, axis_name, perm)
-        return k_c, v_c, m_new, l, acc
+        # overlaps the final merge.
+        k_c = jax.lax.ppermute(k_c, statics.axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, statics.axis_name, perm)
+        return k_c, v_c, o_new, lse_new
 
-    # pcast-to-varying: loop-carry inits must carry the same varying-manual-axes type
-    # as the body outputs (jax >= 0.9 shard_map VMA checking).
     init = (
         k0,
         v0,
-        jax.lax.pcast(jnp.full((b, n, t), _NEG_INF, jnp.float32), mesh_axes, to="varying"),
-        jax.lax.pcast(jnp.zeros((b, n, t), jnp.float32), mesh_axes, to="varying"),
-        jax.lax.pcast(jnp.zeros((b, n, t, d), jnp.float32), mesh_axes, to="varying"),
+        _varying(jnp.zeros((b, n, t, d), jnp.float32), statics.mesh_axes),
+        _varying(jnp.full((b, n, t), _NEG_INF, jnp.float32), statics.mesh_axes),
     )
-    *_, m, l, acc = jax.lax.fori_loop(0, num_chunks, step, init)
-    out = acc / l[..., None]
-    return out.transpose(0, 2, 1, 3).astype(v0.dtype)
+    *_, o, lse = jax.lax.fori_loop(0, C, step, init)
+    return o.transpose(0, 2, 1, 3).astype(v0.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_attn(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
+    return _ring_forward(statics, q, k0, v0, bias_rows, mask_rows)[0]
+
+
+def _ring_attn_fwd(statics, q, k0, v0, bias_rows, mask_rows):
+    out, lse = _ring_forward(statics, q, k0, v0, bias_rows, mask_rows)
+    # Residuals are the device's OWN shards only — every entry is 1/C of the
+    # global sequence. No rotated chunk is saved.
+    return out, (q, k0, v0, bias_rows, mask_rows, out, lse)
+
+
+def _ring_attn_bwd(statics, res, g):
+    q, k0, v0, bias_rows, mask_rows, out, lse = res
+    b, t, n, d = q.shape
+    s = k0.shape[1]
+    C = statics.num_chunks
+    dropout_scale = (
+        1.0 / (1.0 - statics.dropout_rate) if statics.has_mask else 0.0
+    )
+    idx = jax.lax.axis_index(statics.axis_name)
+    perm = [(i, (i + 1) % C) for i in range(C)]
+    qt = q.transpose(0, 2, 1, 3)
+    gt = g.transpose(0, 2, 1, 3)
+    out_t = out.transpose(0, 2, 1, 3)
+
+    def step(j, carry):
+        k_c, v_c, dk_c, dv_c, dq_acc = carry
+        chunk = (idx - j) % C
+        cols_b = _chunk_cols(bias_rows, chunk, s)
+        cols_m = _chunk_cols(mask_rows, chunk, s) if statics.has_mask else None
+        # Blockwise backward kernels with the GLOBAL lse: p = exp(z − lse)
+        # is the globally-normalized probability block, so the per-chunk
+        # dq contributions sum to the exact total and (dk_j, dv_j) is the
+        # exact gradient slice for the chunk currently held.
+        dq_j, dk_j, dv_j = _blockwise_backward(
+            qt,
+            k_c.transpose(0, 2, 1, 3),
+            v_c.transpose(0, 2, 1, 3),
+            cols_b,
+            cols_m,
+            gt,
+            out_t,
+            lse,
+            dropout_scale,
+        )
+        dq_acc = dq_acc + dq_j.astype(jnp.float32)
+        dk_c = dk_c + dk_j.transpose(0, 2, 1, 3).astype(jnp.float32)
+        dv_c = dv_c + dv_j.transpose(0, 2, 1, 3).astype(jnp.float32)
+        # dk/dv accumulators travel WITH their chunk; after C rotations each
+        # chunk's gradient lands back on its home device fully accumulated.
+        k_c = jax.lax.ppermute(k_c, statics.axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, statics.axis_name, perm)
+        dk_c = jax.lax.ppermute(dk_c, statics.axis_name, perm)
+        dv_c = jax.lax.ppermute(dv_c, statics.axis_name, perm)
+        return k_c, v_c, dk_c, dv_c, dq_acc
+
+    init = (
+        k0,
+        v0,
+        _varying(jnp.zeros((b, s, n, d), jnp.float32), statics.mesh_axes),
+        _varying(jnp.zeros((b, s, n, d), jnp.float32), statics.mesh_axes),
+        _varying(jnp.zeros((b, n, t, d), jnp.float32), statics.mesh_axes),
+    )
+    *_, dk, dv, dq = jax.lax.fori_loop(0, C, step, init)
+    return (
+        dq.transpose(0, 2, 1, 3).astype(q.dtype),
+        dk.astype(k0.dtype),
+        dv.astype(v0.dtype),
+        None,
+        None,
+    )
+
+
+_ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
 
 
 def ring_attention(
@@ -127,26 +232,27 @@ def ring_attention(
     bias_spec = P(DATA_AXIS, None, CONTEXT_AXIS, None)
     mask_spec = P(DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS, None)
 
-    body = functools.partial(
-        _ring_body,
+    statics = _RingStatics(
         axis_name=CONTEXT_AXIS,
         mesh_axes=tuple(mesh.axis_names),
         num_chunks=C,
-        scale=1.0 / (D ** 0.5),
-        dropout_scale=1.0 / (1.0 - dropout_rate),
+        dropout_rate=float(dropout_rate),
+        has_mask=dropout_mask is not None,
     )
     if dropout_mask is None:
         fn = jax.shard_map(
-            lambda q_, k_, v_, b_: body(q_, k_, v_, b_, None),
+            lambda q_, k_, v_, b_: _ring_attn(statics, q_, k_, v_, b_, None),
             mesh=mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
             out_specs=qkv_spec,
+            check_vma=False,
         )
         return fn(q, k, v, bias)
     fn = jax.shard_map(
-        body,
+        lambda q_, k_, v_, b_, m_: _ring_attn(statics, q_, k_, v_, b_, m_),
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec),
         out_specs=qkv_spec,
+        check_vma=False,
     )
     return fn(q, k, v, bias, dropout_mask)

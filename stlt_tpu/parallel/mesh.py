@@ -111,5 +111,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def constrain_folded_rows(x):
+    """Sharding constraint for [B·F, ...] arrays whose leading dim merged a
+    data-sharded batch axis with a context-sharded frame axis.
+
+    GSPMD does not reliably propagate the merged (data×context) tiling
+    through the fold — measured at 516 frames / context=4, the spatial
+    stage's saved activations stayed frame-replicated and per-device train
+    memory scaled only 0.78× instead of ~1/C. One explicit constraint at the
+    fold point pins the product sharding; no-op when no context mesh is
+    active (single-device, eager init, or context_parallel=1)."""
+    mesh = active_context_mesh()
+    if mesh is None:
+        return x
+    spec = P((DATA_AXIS, CONTEXT_AXIS), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -133,7 +133,7 @@ def test_ring_train_step_uses_less_memory_at_long_context():
         layout_num_frames=258,
     )
     model = models_factory["stlt"](cfg)
-    batch = _synthetic_layout_batch(8, 258, 8, 4)
+    batch = _synthetic_layout_batch(8, 258, 8, 4)  # 258 = 2×129 (divides ctx)
     batch["valid"] = np.ones(8, bool)
     inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
     set_active_mesh(None)
@@ -163,5 +163,10 @@ def test_ring_train_step_uses_less_memory_at_long_context():
             state, batch, jax.ShapeDtypeStruct((), np.uint32)
         ).compile().memory_analysis()
         temps[ctx] = analysis.temp_size_in_bytes
-    # measured 3161 vs 3480 MB at time of writing (~9% lower)
-    assert temps[2] < temps[1], temps
+    # Ring v2 (custom_vjp recompute + blockwise kernels per step + the
+    # folded-rows sharding constraint): measured 0.59x at context=2 and
+    # 0.44x at context=4 on the 516-frame probe — real 1/C-ish scaling of
+    # the sharded activation component (round 2 measured only −9%: the
+    # fori_loop saved every rotated K/V chunk and the spatial stage stayed
+    # frame-replicated). Assert a robust margin below the measurement.
+    assert temps[2] < 0.75 * temps[1], temps
