@@ -82,6 +82,11 @@ class MultiHeadAttention(nn.Module):
     # XLA all-gather the K/V sequence. Set only on encoders whose token axis
     # is the frame axis.
     seq_shard: bool = False
+    # Declares that the bias this attention receives is causal (it still
+    # must contain the causal terms): the blockwise Pallas kernels then SKIP
+    # block pairs above the diagonal (ops/flash.py _causal_live). Set on the
+    # temporal encoders only.
+    causal: bool = False
 
     @nn.compact
     def __call__(
@@ -145,6 +150,7 @@ class MultiHeadAttention(nn.Module):
                     use_pallas=True,
                     dropout_seed=seed,
                     dropout_rate=self.dropout_rate,
+                    causal=self.causal,
                 )
             else:
                 # Short sequences: the mask is small; sampling it HERE keeps
@@ -171,13 +177,16 @@ class MultiHeadAttention(nn.Module):
                         use_pallas=self.use_pallas,
                         dropout_mask=keep,
                         dropout_rate=self.dropout_rate,
+                        causal=self.causal,
                     )
         elif ring_mesh is not None:
             from stlt_tpu.ops.ring import ring_attention
 
             out = ring_attention(q, k, v, bias, ring_mesh)
         else:
-            out = dot_product_attention(q, k, v, bias, use_pallas=self.use_pallas)
+            out = dot_product_attention(
+                q, k, v, bias, use_pallas=self.use_pallas, causal=self.causal
+            )
 
         out = out.reshape(B, T, H)
         # torch MHA out_proj: NonDynamicallyQuantizableLinear == nn.Linear
@@ -216,6 +225,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     seq_shard: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(
@@ -231,6 +241,7 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             seq_shard=self.seq_shard,
+            causal=self.causal,
             name="self_attn",
         )(x, x, x, bias, deterministic=deterministic)
         attn_out = nn.Dropout(rate=self.dropout_rate)(
@@ -268,6 +279,7 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     seq_shard: bool = False
+    causal: bool = False
     remat: bool = False
 
     @nn.compact
@@ -293,6 +305,7 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 seq_shard=self.seq_shard,
+                causal=self.causal,
                 name=f"layers_{i}",
             )(x, bias, deterministic)
         return x

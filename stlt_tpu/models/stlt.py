@@ -181,6 +181,9 @@ class StltBackbone(nn.Module):
             # Token axis = frame axis: ring attention applies when a
             # context-parallel mesh is active (ops/ring.py).
             seq_shard=True,
+            # The temporal bias is causal (+frame padding): the blockwise
+            # kernels skip whole above-diagonal blocks at long context.
+            causal=True,
             remat=cfg.remat,
             name="transformer",
         )(embeddings, bias, deterministic=deterministic)  # [B, F, H]

@@ -79,6 +79,7 @@ def dot_product_attention(
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Dispatch between the fused Pallas kernel and the XLA reference path.
 
@@ -92,6 +93,7 @@ def dot_product_attention(
         return flash_attention(
             q, k, v, bias=bias, dropout_mask=dropout_mask,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            causal=causal,
         )
     if dropout_seed is not None and dropout_mask is None:
         from stlt_tpu.ops.flash import hash_keep_mask

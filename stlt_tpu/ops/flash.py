@@ -245,10 +245,20 @@ def _pick_kv_block(s: int) -> int:
     return choice
 
 
+def _causal_live(t_blk, s_blk, tb: int, sb: int):
+    """False iff the (q-block, kv-block) pair is ENTIRELY above the causal
+    diagonal (min key index > max query index) — every logit in it carries
+    the large-negative causal bias, so p = 0 and the block contributes
+    nothing to l/acc or any gradient. Skipping it saves the MXU work
+    (~30-45% of blocks at square causal shapes, granularity permitting).
+    Block (t, 0) is never skipped, so no row's l can end up 0."""
+    return s_blk * sb <= (t_blk + 1) * tb - 1
+
+
 def _blockwise_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
-    prng: Optional[tuple] = None,
+    prng: Optional[tuple] = None, causal: bool = False,
 ):
     # q_ref: [Rb, 1, Tb, D]; k_ref/v_ref: [Rb, 1, Sb, D];
     # bias_ref: [Rb, 1, Tb, Sb]; scratch m/l: [Rb, Tb], acc: [Rb, Tb, D].
@@ -263,6 +273,9 @@ def _blockwise_attn_kernel(
     else:
         o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     sb = pl.program_id(3)
+    # program_id has no lowering inside a pl.when branch under the CPU
+    # interpreter — hoist every id out of the guarded closure.
+    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
 
     @pl.when(sb == 0)
     def _init():
@@ -270,34 +283,40 @@ def _blockwise_attn_kernel(
         l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    q = q_ref[:, 0].astype(jnp.float32)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    logits = logits * scale + bias_ref[:, 0].astype(jnp.float32)
-    m_prev = m_ref[...]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
-    p = jnp.exp(logits - m_new[..., None])
-    corr = jnp.exp(m_prev - m_new)
-    # The softmax denominator accumulates UNDROPPED probabilities (dropout
-    # applies after normalization); only the value contraction is dropped.
-    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1)
-    pv = p
-    if dropout_scale:
-        pv = p * (_block_keep_operand(
-            rest[0], prng, p.shape, pl.program_id(0), pl.program_id(1),
-            pl.program_id(2), sb,
-        ) * dropout_scale)
-    acc_ref[...] = acc_ref[...] * corr[..., None] + jax.lax.dot_general(
-        pv, v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[...] = m_new
+    def _compute():
+        q = q_ref[:, 0].astype(jnp.float32)
+        k = k_ref[:, 0].astype(jnp.float32)
+        v = v_ref[:, 0].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale + bias_ref[:, 0].astype(jnp.float32)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m_prev - m_new)
+        # The softmax denominator accumulates UNDROPPED probabilities
+        # (dropout applies after normalization); only PV is dropped.
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1)
+        pv = p
+        if dropout_scale:
+            pv = p * (_block_keep_operand(
+                rest[0], prng, p.shape, ids[0], ids[1], ids[2], sb,
+            ) * dropout_scale)
+        acc_ref[...] = acc_ref[...] * corr[..., None] + jax.lax.dot_general(
+            pv, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+
+    if causal:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        pl.when(_causal_live(ids[2], sb, tb_sz, sb_sz))(_compute)
+    else:
+        _compute()
 
     @pl.when(sb == num_kv_blocks - 1)
     def _finish():
@@ -316,7 +335,7 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
 
 
 def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
-                       seed=None, dropout_rate=0.0):
+                       seed=None, dropout_rate=0.0, causal=False):
     """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias_arr: [B, bn, T, S];
     dropout via EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed``
     (uint32 scalar → in-kernel hash bits; nothing [T, S] ships from HBM).
@@ -393,6 +412,7 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
             num_kv_blocks=Sp // sb,
             dropout_scale=dropout_scale,
             prng=prng,
+            causal=causal,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -414,7 +434,7 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
 def _blockwise_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
-    prng: Optional[tuple] = None,
+    prng: Optional[tuple] = None, causal: bool = False,
 ):
     """dq for one (batch-row, head, q-block): KV loop innermost, probability
     block recomputed from the forward's saved logsumexp — nothing [T, S]
@@ -426,37 +446,44 @@ def _blockwise_dq_kernel(
     else:
         dq_ref, acc_ref = rest
     sb = pl.program_id(3)
+    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
 
     @pl.when(sb == 0)
     def _init():
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
-    k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
-    v = v_ref[:, 0].astype(jnp.float32)
-    do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
-    lse = lse_ref[:, 0, :, 0]                # [rb, tb]
-    dsum = dsum_ref[:, 0, :, 0]
+    def _compute():
+        q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
+        k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
+        v = v_ref[:, 0].astype(jnp.float32)
+        do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
+        lse = lse_ref[:, 0, :, 0]                # [rb, tb]
+        dsum = dsum_ref[:, 0, :, 0]
 
-    z = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale + bias_ref[:, 0].astype(jnp.float32)
-    p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]; <= 1 by lse >= m
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if dropout_scale:
-        dp = dp * (_block_keep_operand(
-            _keep_src, prng, p.shape, pl.program_id(0), pl.program_id(1),
-            pl.program_id(2), sb,
-        ) * dropout_scale)
-    dz = p * (dp - dsum[..., None])
-    acc_ref[...] += jax.lax.dot_general(
-        dz, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
+        z = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[:, 0].astype(jnp.float32)
+        p = jnp.exp(z - lse[..., None])      # [rb, tb, sb]; <= 1 by lse >= m
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_scale:
+            dp = dp * (_block_keep_operand(
+                _keep_src, prng, p.shape, ids[0], ids[1], ids[2], sb,
+            ) * dropout_scale)
+        dz = p * (dp - dsum[..., None])
+        acc_ref[...] += jax.lax.dot_general(
+            dz, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    if causal:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        pl.when(_causal_live(ids[2], sb, tb_sz, sb_sz))(_compute)
+    else:
+        _compute()
 
     @pl.when(sb == num_kv_blocks - 1)
     def _finish():
@@ -466,7 +493,7 @@ def _blockwise_dq_kernel(
 def _blockwise_dkdv_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_q_blocks: int, dropout_scale: float = 0.0,
-    prng: Optional[tuple] = None,
+    prng: Optional[tuple] = None, causal: bool = False,
 ):
     """dk/dv for one (batch-row, head, kv-block): Q loop innermost.
     dv = (p∘keepc)ᵀ dO; dk = dzᵀ Q·scale with dz as in the dq kernel."""
@@ -475,48 +502,55 @@ def _blockwise_dkdv_kernel(
     else:
         dk_ref, dv_ref, dk_acc, dv_acc = rest
     tb_i = pl.program_id(3)
+    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
 
     @pl.when(tb_i == 0)
     def _init():
         dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
         dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
 
-    q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
-    k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
-    v = v_ref[:, 0].astype(jnp.float32)
-    do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
-    lse = lse_ref[:, 0, :, 0]                # [rb, tb]
-    dsum = dsum_ref[:, 0, :, 0]
+    def _compute():
+        q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
+        k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
+        v = v_ref[:, 0].astype(jnp.float32)
+        do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
+        lse = lse_ref[:, 0, :, 0]                # [rb, tb]
+        dsum = dsum_ref[:, 0, :, 0]
 
-    z = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale + bias_ref[:, 0].astype(jnp.float32)
-    p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]
-    pv = p
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if dropout_scale:
-        # Grid here is (i, n, s-block, t-block) — pass the GLOBAL (t, s)
-        # block coordinates so the hash matches the forward/dq kernels.
-        keepc = _block_keep_operand(
-            _keep_src, prng, p.shape, pl.program_id(0), pl.program_id(1),
-            tb_i, pl.program_id(2),
-        ) * dropout_scale
-        pv = p * keepc
-        dp = dp * keepc
-    # dv += pvᵀ dO: contract the q dimension (axis 1 of both).
-    dv_acc[...] += jax.lax.dot_general(
-        pv, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dz = p * (dp - dsum[..., None])
-    dk_acc[...] += jax.lax.dot_general(
-        dz, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
+        z = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[:, 0].astype(jnp.float32)
+        p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]
+        pv = p
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_scale:
+            # Grid here is (i, n, s-block, t-block) — pass the GLOBAL (t, s)
+            # block coordinates so the hash matches the forward/dq kernels.
+            keepc = _block_keep_operand(
+                _keep_src, prng, p.shape, ids[0], ids[1], tb_i, ids[2],
+            ) * dropout_scale
+            pv = p * keepc
+            dp = dp * keepc
+        # dv += pvᵀ dO: contract the q dimension (axis 1 of both).
+        dv_acc[...] += jax.lax.dot_general(
+            pv, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dz = p * (dp - dsum[..., None])
+        dk_acc[...] += jax.lax.dot_general(
+            dz, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    if causal:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        pl.when(_causal_live(tb_i, ids[2], tb_sz, sb_sz))(_compute)
+    else:
+        _compute()
 
     @pl.when(tb_i == num_q_blocks - 1)
     def _finish():
@@ -525,7 +559,8 @@ def _blockwise_dkdv_kernel(
 
 
 def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
-                        dropout_scale=0.0, seed=None, dropout_rate=0.0):
+                        dropout_scale=0.0, seed=None, dropout_rate=0.0,
+                        causal=False):
     """KV-loop Pallas backward (long-context train path).
 
     All activation-shaped tensors are [B, N, T/S, D] (head-major); bias_arr
@@ -625,7 +660,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
         functools.partial(
             _blockwise_dq_kernel,
             scale=scale, num_kv_blocks=Sp // sb, dropout_scale=dropout_scale,
-            prng=prng,
+            prng=prng, causal=causal,
         ),
         grid=(B, N, Tp // tb, Sp // sb),
         in_specs=in_specs,
@@ -656,7 +691,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
         functools.partial(
             _blockwise_dkdv_kernel,
             scale=scale, num_q_blocks=Tp // tb, dropout_scale=dropout_scale,
-            prng=prng,
+            prng=prng, causal=causal,
         ),
         grid=(B, N, Sp // sb, Tp // tb),
         in_specs=in_specs,
@@ -682,6 +717,7 @@ def flash_attention(
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """q: [B, T, N, D]; k, v: [B, S, N, D]; bias broadcastable to
     [B, N, T, S] (given with leading dims of size 1 or matching).
@@ -699,6 +735,12 @@ def flash_attention(
       the long-context requirement (the mask itself is O(T²) HBM). The same
       bits are regenerated by the backward kernels (stateless counter hash),
       and ``hash_keep_mask`` reconstructs them in XLA for tests/fallback.
+
+    ``causal=True`` declares (it does not create — the bias must still carry
+    the causal terms) that the bias is causal, letting the blockwise kernels
+    SKIP (q, kv) block pairs entirely above the diagonal: their p is
+    identically 0, so forward l/acc and every gradient are untouched while
+    the MXU work disappears.
     """
     assert dropout_mask is None or dropout_seed is None
     bias4 = None
@@ -707,13 +749,14 @@ def flash_attention(
         while bias4.ndim < 4:
             bias4 = bias4[None]
     return _flash_custom(
-        float(dropout_rate), q, k, v, bias4, dropout_mask, dropout_seed
+        float(dropout_rate), bool(causal), q, k, v, bias4, dropout_mask,
+        dropout_seed,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash_custom(dropout_rate, q, k, v, bias4, mask, seed):
-    return _flash_forward(q, k, v, bias4, mask, dropout_rate, seed)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_custom(dropout_rate, causal, q, k, v, bias4, mask, seed):
+    return _flash_forward(q, k, v, bias4, mask, dropout_rate, seed, causal)[0]
 
 
 def _broadcast_bias(bias4, B, T, S):
@@ -726,7 +769,7 @@ def _broadcast_bias(bias4, B, T, S):
     return jnp.broadcast_to(bias_arr, (B, bias_arr.shape[1], T, S))
 
 
-def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None):
+def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False):
     """Returns (out, residual): residual is (out_t, lse) head-major on the
     blockwise path (consumed by the Pallas backward), or None on the
     short-sequence path (whose backward recomputes through XLA)."""
@@ -745,7 +788,8 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None):
 
     if max(T, S) >= _BLOCKWISE_MIN_SEQ:
         out_t, lse = _blockwise_forward(
-            qt, kt, vt, bias_arr, mask, dropout_scale, seed, dropout_rate
+            qt, kt, vt, bias_arr, mask, dropout_scale, seed, dropout_rate,
+            causal,
         )
         return out_t.transpose(0, 2, 1, 3), (out_t, lse)
 
@@ -802,12 +846,14 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None):
     return out[:B].transpose(0, 2, 1, 3), None
 
 
-def _flash_fwd(dropout_rate, q, k, v, bias4, mask, seed):
-    out, residual = _flash_forward(q, k, v, bias4, mask, dropout_rate, seed)
+def _flash_fwd(dropout_rate, causal, q, k, v, bias4, mask, seed):
+    out, residual = _flash_forward(
+        q, k, v, bias4, mask, dropout_rate, seed, causal
+    )
     return out, (q, k, v, bias4, mask, seed, residual)
 
 
-def _flash_bwd(dropout_rate, residuals, g):
+def _flash_bwd(dropout_rate, causal, residuals, g):
     q, k, v, bias4, mask, seed, residual = residuals
     if residual is not None:
         # Blockwise-dispatched shape: KV-loop Pallas backward — the
@@ -829,6 +875,7 @@ def _flash_bwd(dropout_rate, residuals, g):
             dropout_scale,
             seed,
             dropout_rate,
+            causal,
         )
         return (
             dq_t.transpose(0, 2, 1, 3).astype(q.dtype),

@@ -390,3 +390,44 @@ def test_model_long_context_train_forward_finite():
         deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)},
     )["stlt"]
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --- causal block skipping (long-context fast path) --------------------------
+
+
+@pytest.mark.parametrize("T", [520, 640])
+def test_causal_skip_matches_unskipped(T):
+    """causal=True skips above-diagonal blocks; outputs and gradients must
+    EQUAL the unskipped kernel and the XLA reference (the skipped blocks'
+    p is identically 0), including with key padding and hashed dropout."""
+    from stlt_tpu.ops.flash import hash_keep_mask
+
+    rng = np.random.default_rng(17)
+    B, N, D, rate = 2, 2, 16, 0.2
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    pad = np.zeros((B, T), bool)
+    pad[:, -41:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+
+    got = flash_attention(q, k, v, bias, causal=True)
+    base = flash_attention(q, k, v, bias, causal=False)
+    want = dot_product_attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # gradients (exercises the skip in both backward kernels), dropout on
+    seed = jnp.uint32(99)
+    keep = hash_keep_mask(seed, B, N, T, T, rate)
+
+    def loss_skip(a, b, c):
+        return flash_attention(
+            a, b, c, bias, dropout_seed=seed, dropout_rate=rate, causal=True
+        ).sum()
+
+    def loss_ref(a, b, c):
+        return dot_product_attention_reference(a, b, c, bias, keep, rate).sum()
+
+    gk = jax.grad(loss_skip, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
