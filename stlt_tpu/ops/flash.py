@@ -114,21 +114,6 @@ def hash_keep_mask(seed, B, N, T, S, rate):
     return (h >= thresh).astype(jnp.float32)
 
 
-def _block_keep_operand(ref, prng, shape, i, n, t_blk, s_blk):
-    """Keep bits for one [rb, tb, sb] block: from the mask operand ``ref``
-    when ``prng`` is None, else hashed in place from the seed operand ``ref``
-    and the block's global coordinates (identical in every kernel that asks
-    for the same coordinates — forward, dq, dk/dv)."""
-    if prng is None:
-        return ref[:, 0].astype(jnp.float32)
-    num_heads, s_total, thresh = prng
-    rb, tb, sb_ = shape
-    return _keep_block(
-        ref[0], i * rb, n, t_blk * tb, s_blk * sb_,
-        shape, num_heads, s_total, thresh,
-    )
-
-
 def _fused_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest, scale: float,
     dropout_scale: float = 0.0, prng: Optional[tuple] = None,
@@ -255,44 +240,63 @@ def _causal_live(t_blk, s_blk, tb: int, sb: int):
     return s_blk * sb <= (t_blk + 1) * tb - 1
 
 
+def _keep_block_heads(seed, b, n0, t0, s0, shape, num_heads, s_total, thresh):
+    """Keep-mask block [hb, tb, sb] for one batch row, heads n0..n0+hb-1
+    (head index on dim 0) — the same bit stream as hash_keep_mask."""
+    n_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(n0)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(t0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2) + jnp.uint32(s0)
+    lane = _lowbias32((jnp.uint32(b) * jnp.uint32(num_heads) + n_ids) ^ seed)
+    h = _lowbias32((rows * jnp.uint32(s_total) + cols) ^ lane)
+    return (h >= jnp.uint32(thresh)).astype(jnp.float32)
+
+
 def _blockwise_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
 ):
-    # q_ref: [Rb, 1, Tb, D]; k_ref/v_ref: [Rb, 1, Sb, D];
-    # bias_ref: [Rb, 1, Tb, Sb]; scratch m/l: [Rb, Tb], acc: [Rb, Tb, D].
-    # Outputs: o_ref [Rb, 1, Tb, D] and lse_ref [Rb, 1, Tb, 1] (the row
-    # logsumexp the blockwise BACKWARD recomputes probabilities from).
-    # Dropout: mask operand (rest = (mask_ref, ...)) or in-kernel hash bits
-    # (prng = (num_heads, s_total, thresh); rest = (seed_ref, ...)).
+    """Blockwise forward, ALL HEADS per program.
+
+    Round-3 regime analysis (PERF_NOTES "causal block skipping"): at the
+    512-frame shapes the old one-head-per-program grid spent ~12 µs of
+    per-program overhead on ~0.05 µs of MXU work and re-read the
+    head-collapsed bias tile once per head. Folding the head axis into the
+    block cuts program count by N and reads the bias ONCE per (b, t, s) —
+    the matmuls stay a single Mosaic-legal batched dot (batch dim = heads;
+    the round-2 rejection was a per-head LOOP at short sequences, a
+    different design in a different regime).
+
+    q_ref: [1, N, Tb, D]; k/v: [1, N, Sb, D]; bias: [1, bn, Tb, Sb] (bn ∈
+    {1, N}, broadcast); outputs o [1, N, Tb, D] + lse [1, N, Tb, 1];
+    scratch m/l [N, Tb], acc [N, Tb, D]. Dropout: mask operand or in-kernel
+    hash bits (prng = (num_heads, s_total, thresh))."""
     if dropout_scale and prng is not None:
         seed_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     elif dropout_scale:
         mask_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
-    sb = pl.program_id(3)
-    # program_id has no lowering inside a pl.when branch under the CPU
-    # interpreter — hoist every id out of the guarded closure.
-    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
+    b_i = pl.program_id(0)
+    t_i = pl.program_id(1)
+    s_i = pl.program_id(2)
 
-    @pl.when(sb == 0)
+    @pl.when(s_i == 0)
     def _init():
         m_ref[...] = jnp.full(m_ref.shape, _NEG_INF, m_ref.dtype)
         l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     def _compute():
-        q = q_ref[:, 0].astype(jnp.float32)
-        k = k_ref[:, 0].astype(jnp.float32)
-        v = v_ref[:, 0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)   # [N, tb, D]
+        k = k_ref[0].astype(jnp.float32)   # [N, sb, D]
+        v = v_ref[0].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # batch = heads
             preferred_element_type=jnp.float32,
         )
-        logits = logits * scale + bias_ref[:, 0].astype(jnp.float32)
+        logits = logits * scale + bias_ref[0].astype(jnp.float32)
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
         p = jnp.exp(logits - m_new[..., None])
@@ -302,9 +306,15 @@ def _blockwise_attn_kernel(
         l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1)
         pv = p
         if dropout_scale:
-            pv = p * (_block_keep_operand(
-                rest[0], prng, p.shape, ids[0], ids[1], ids[2], sb,
-            ) * dropout_scale)
+            if prng is not None:
+                num_heads, s_total, thresh = prng
+                keep = _keep_block_heads(
+                    seed_ref[0], b_i, 0, t_i * p.shape[1], s_i * p.shape[2],
+                    p.shape, num_heads, s_total, thresh,
+                )
+            else:
+                keep = mask_ref[0].astype(jnp.float32)
+            pv = p * (keep * dropout_scale)
         acc_ref[...] = acc_ref[...] * corr[..., None] + jax.lax.dot_general(
             pv, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -314,14 +324,14 @@ def _blockwise_attn_kernel(
 
     if causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(ids[2], sb, tb_sz, sb_sz))(_compute)
+        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
         _compute()
 
-    @pl.when(sb == num_kv_blocks - 1)
+    @pl.when(s_i == num_kv_blocks - 1)
     def _finish():
-        o_ref[:, 0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
-        lse_ref[:, 0, :, 0] = m_ref[...] + jnp.log(l_ref[...])
+        o_ref[0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
+        lse_ref[0, :, :, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
@@ -334,17 +344,7 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
-                       seed=None, dropout_rate=0.0, causal=False):
-    """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias_arr: [B, bn, T, S];
-    dropout via EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed``
-    (uint32 scalar → in-kernel hash bits; nothing [T, S] ships from HBM).
-    Returns (out [B, N, T, D], lse [B, N, T] row logsumexp)."""
-    B, N, T, D = qt.shape
-    S = kt.shape[2]
-    scale = 1.0 / (D ** 0.5)
-    out_dtype = vt.dtype
-
+def _blockwise_block_sizes(T: int, S: int):
     # Q blocks need only sublane (x8) alignment, so pick the multiple-of-8
     # size minimizing row padding (largest such block on ties); KV blocks
     # are the lane dim of the bias/mask tiles and must stay x128.
@@ -353,9 +353,24 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
         range(8, _Q_BLOCK + 1, 8),
         key=lambda t: (-(T // -t) * t - T, -t),  # (ceil-pad waste, prefer big)
     )
+    return tb, sb
+
+
+def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
+                       seed=None, dropout_rate=0.0, causal=False):
+    """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias_arr: [B, bn, T, S];
+    dropout via EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed``
+    (uint32 scalar -> in-kernel hash bits; nothing [T, S] ships from HBM).
+    Returns (out [B, N, T, D], lse [B, N, T] row logsumexp)."""
+    B, N, T, D = qt.shape
+    S = kt.shape[2]
+    scale = 1.0 / (D ** 0.5)
+    out_dtype = vt.dtype
+
+    tb, sb = _blockwise_block_sizes(T, S)
     # Pad to block multiples: padded KV columns get large-negative bias
-    # (contribute exp(·)=0); padded Q rows get bias 0 (garbage rows, sliced
-    # off after the call — never NaN because l ≥ exp(0) > 0).
+    # (contribute exp(.)=0); padded Q rows get bias 0 (garbage rows, sliced
+    # off after the call — never NaN because l >= exp(0) > 0).
     qt = _pad_to(qt, 2, tb)
     kt = _pad_to(kt, 2, sb)
     vt = _pad_to(vt, 2, sb)
@@ -366,32 +381,26 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
     Tp, Sp = qt.shape[2], kt.shape[2]
     bias_n = bias_arr.shape[1]
 
-    rb = 1
-    grid = (B // rb, N, Tp // tb, Sp // sb)
+    grid = (B, Tp // tb, Sp // sb)
 
     q_spec = pl.BlockSpec(
-        (rb, 1, tb, D), lambda i, n, t, s: (i, n, t, 0), memory_space=pltpu.VMEM
+        (1, N, tb, D), lambda b, t, s: (b, 0, t, 0), memory_space=pltpu.VMEM
     )
     kv_spec = pl.BlockSpec(
-        (rb, 1, sb, D), lambda i, n, t, s: (i, n, s, 0), memory_space=pltpu.VMEM
+        (1, N, sb, D), lambda b, t, s: (b, 0, s, 0), memory_space=pltpu.VMEM
     )
 
     def nts_spec(n_dim):
-        if n_dim == 1:
-            return pl.BlockSpec(
-                (rb, 1, tb, sb), lambda i, n, t, s: (i, 0, t, s),
-                memory_space=pltpu.VMEM,
-            )
         return pl.BlockSpec(
-            (rb, 1, tb, sb), lambda i, n, t, s: (i, n, t, s),
+            (1, n_dim, tb, sb), lambda b, t, s: (b, 0, t, s),
             memory_space=pltpu.VMEM,
         )
 
     out_spec = pl.BlockSpec(
-        (rb, 1, tb, D), lambda i, n, t, s: (i, n, t, 0), memory_space=pltpu.VMEM
+        (1, N, tb, D), lambda b, t, s: (b, 0, t, 0), memory_space=pltpu.VMEM
     )
     lse_spec = pl.BlockSpec(
-        (rb, 1, tb, 1), lambda i, n, t, s: (i, n, t, 0), memory_space=pltpu.VMEM
+        (1, N, tb, 1), lambda b, t, s: (b, 0, t, 0), memory_space=pltpu.VMEM
     )
 
     in_specs = [q_spec, kv_spec, kv_spec, nts_spec(bias_n)]
@@ -422,9 +431,9 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
             jax.ShapeDtypeStruct((B, N, Tp, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rb, tb), jnp.float32),
-            pltpu.VMEM((rb, tb), jnp.float32),
-            pltpu.VMEM((rb, tb, D), jnp.float32),
+            pltpu.VMEM((N, tb), jnp.float32),
+            pltpu.VMEM((N, tb), jnp.float32),
+            pltpu.VMEM((N, tb, D), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(*operands)
@@ -436,43 +445,51 @@ def _blockwise_dq_kernel(
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
 ):
-    """dq for one (batch-row, head, q-block): KV loop innermost, probability
-    block recomputed from the forward's saved logsumexp — nothing [T, S]
-    ever leaves VMEM. Math (see _blockwise_backward): with keepc the scaled
-    keep mask, dp = (dO Vᵀ)∘keepc, dz = p∘(dp − rowsum(dO∘O)), dq = dz K·scale.
-    """
+    """dq for one (batch-row, q-block), ALL HEADS: KV loop innermost,
+    probability block recomputed from the forward's saved logsumexp —
+    nothing [T, S] ever leaves VMEM. With keepc the scaled keep mask,
+    dp = (dO Vᵀ)∘keepc, dz = p∘(dp − rowsum(dO∘O)), dq = dz K·scale."""
     if dropout_scale:
         _keep_src, dq_ref, acc_ref = rest
     else:
         dq_ref, acc_ref = rest
-    sb = pl.program_id(3)
-    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
+    b_i = pl.program_id(0)
+    h_i = pl.program_id(1)
+    t_i = pl.program_id(2)
+    s_i = pl.program_id(3)
 
-    @pl.when(sb == 0)
+    @pl.when(s_i == 0)
     def _init():
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     def _compute():
-        q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
-        k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
-        v = v_ref[:, 0].astype(jnp.float32)
-        do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
-        lse = lse_ref[:, 0, :, 0]                # [rb, tb]
-        dsum = dsum_ref[:, 0, :, 0]
+        q = q_ref[0].astype(jnp.float32)      # [N, tb, D]
+        k = k_ref[0].astype(jnp.float32)      # [N, sb, D]
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)    # [N, tb, D]
+        lse = lse_ref[0, :, :, 0]             # [N, tb]
+        dsum = dsum_ref[0, :, :, 0]
 
         z = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[:, 0].astype(jnp.float32)
-        p = jnp.exp(z - lse[..., None])      # [rb, tb, sb]; <= 1 by lse >= m
+        ) * scale + bias_ref[0].astype(jnp.float32)
+        p = jnp.exp(z - lse[..., None])       # [N, tb, sb]; <= 1 by lse >= m
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         if dropout_scale:
-            dp = dp * (_block_keep_operand(
-                _keep_src, prng, p.shape, ids[0], ids[1], ids[2], sb,
-            ) * dropout_scale)
+            keep = (
+                _keep_src[0].astype(jnp.float32)
+                if prng is None
+                else _keep_block_heads(
+                    _keep_src[0], b_i, h_i * p.shape[0],
+                    t_i * p.shape[1], s_i * p.shape[2],
+                    p.shape, prng[0], prng[1], prng[2],
+                )
+            )
+            dp = dp * (keep * dropout_scale)
         dz = p * (dp - dsum[..., None])
         acc_ref[...] += jax.lax.dot_general(
             dz, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -481,13 +498,13 @@ def _blockwise_dq_kernel(
 
     if causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(ids[2], sb, tb_sz, sb_sz))(_compute)
+        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
         _compute()
 
-    @pl.when(sb == num_kv_blocks - 1)
+    @pl.when(s_i == num_kv_blocks - 1)
     def _finish():
-        dq_ref[:, 0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
 def _blockwise_dkdv_kernel(
@@ -495,44 +512,51 @@ def _blockwise_dkdv_kernel(
     scale: float, num_q_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
 ):
-    """dk/dv for one (batch-row, head, kv-block): Q loop innermost.
+    """dk/dv for one (batch-row, kv-block), ALL HEADS: Q loop innermost.
     dv = (p∘keepc)ᵀ dO; dk = dzᵀ Q·scale with dz as in the dq kernel."""
     if dropout_scale:
         _keep_src, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
         dk_ref, dv_ref, dk_acc, dv_acc = rest
-    tb_i = pl.program_id(3)
-    ids = (pl.program_id(0), pl.program_id(1), pl.program_id(2))
+    b_i = pl.program_id(0)
+    h_i = pl.program_id(1)
+    s_i = pl.program_id(2)
+    t_i = pl.program_id(3)
 
-    @pl.when(tb_i == 0)
+    @pl.when(t_i == 0)
     def _init():
         dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
         dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
 
     def _compute():
-        q = q_ref[:, 0].astype(jnp.float32)      # [rb, tb, D]
-        k = k_ref[:, 0].astype(jnp.float32)      # [rb, sb, D]
-        v = v_ref[:, 0].astype(jnp.float32)
-        do = do_ref[:, 0].astype(jnp.float32)    # [rb, tb, D]
-        lse = lse_ref[:, 0, :, 0]                # [rb, tb]
-        dsum = dsum_ref[:, 0, :, 0]
+        q = q_ref[0].astype(jnp.float32)      # [N, tb, D]
+        k = k_ref[0].astype(jnp.float32)      # [N, sb, D]
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)    # [N, tb, D]
+        lse = lse_ref[0, :, :, 0]             # [N, tb]
+        dsum = dsum_ref[0, :, :, 0]
 
         z = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[:, 0].astype(jnp.float32)
-        p = jnp.exp(z - lse[..., None])          # [rb, tb, sb]
+        ) * scale + bias_ref[0].astype(jnp.float32)
+        p = jnp.exp(z - lse[..., None])       # [N, tb, sb]
         pv = p
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         if dropout_scale:
-            # Grid here is (i, n, s-block, t-block) — pass the GLOBAL (t, s)
-            # block coordinates so the hash matches the forward/dq kernels.
-            keepc = _block_keep_operand(
-                _keep_src, prng, p.shape, ids[0], ids[1], tb_i, ids[2],
-            ) * dropout_scale
+            keep = (
+                _keep_src[0].astype(jnp.float32)
+                if prng is None
+                else _keep_block_heads(
+                    _keep_src[0], b_i, h_i * p.shape[0],
+                    t_i * p.shape[1], s_i * p.shape[2],
+                    p.shape, prng[0], prng[1], prng[2],
+                )
+            )
+            keepc = keep * dropout_scale
             pv = p * keepc
             dp = dp * keepc
         # dv += pvᵀ dO: contract the q dimension (axis 1 of both).
@@ -548,20 +572,20 @@ def _blockwise_dkdv_kernel(
 
     if causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(tb_i, ids[2], tb_sz, sb_sz))(_compute)
+        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
         _compute()
 
-    @pl.when(tb_i == num_q_blocks - 1)
+    @pl.when(t_i == num_q_blocks - 1)
     def _finish():
-        dk_ref[:, 0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[:, 0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
                         dropout_scale=0.0, seed=None, dropout_rate=0.0,
                         causal=False):
-    """KV-loop Pallas backward (long-context train path).
+    """KV-loop Pallas backward (long-context train path), heads-in-block.
 
     All activation-shaped tensors are [B, N, T/S, D] (head-major); bias_arr
     [B, bn, T, S]; mask [B, mn, T, S] or None; lse [B, N, T] from the
@@ -578,11 +602,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
 
     dsum = jnp.sum(dOt.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1)
 
-    sb = min(_pick_kv_block(S), S)
-    tb = min(
-        range(8, _Q_BLOCK + 1, 8),
-        key=lambda t: (-(T // -t) * t - T, -t),
-    )
+    tb, sb = _blockwise_block_sizes(T, S)
     qt = _pad_to(qt, 2, tb)
     dOt = _pad_to(dOt, 2, tb)
     kt = _pad_to(kt, 2, sb)
@@ -595,61 +615,80 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
     dsum4 = _pad_to(dsum[..., None], 2, tb)
     Tp, Sp = qt.shape[2], kt.shape[2]
     bias_n = bias_arr.shape[1]
-    rb = 1
     interpret = jax.default_backend() == "cpu"
 
-    def row_spec(seq, order):
-        # order: "t" blocks follow the q-block grid dim, "s" the kv dim.
-        if order == "t":
+    # Head-group size: all-heads blocks OOM the 16 MB scoped-VMEM limit in
+    # the two-output dk/dv kernel at N=12 (measured 17.46M) — split heads
+    # into the largest group the cost model keeps under ~11 MB (the model
+    # charges double-buffered f32 in/out blocks, f32 scratch, and the four
+    # [hb, tb, sb] f32 intermediates).
+    def pick_hb(n_out):
+        def est(hb):
+            blocks = (2 * tb * D + (2 + n_out) * sb * D) * 4 * 2
+            scratch = (2 * sb * D * 4) if n_out == 2 else (tb * D * 4)
+            interm = 4 * tb * sb * 4
+            return hb * (blocks + scratch + interm)
+        for d in range(N, 0, -1):
+            if N % d == 0 and est(d) <= 11 * 1024 * 1024:
+                return d
+        return 1
+
+    def row_spec(seq, which, hb):
+        # which: "t" rows follow the q-block grid dim, "s" the kv dim. The
+        # dq grid is (b, h, t, s); the dk/dv grid is (b, h, s, t).
+        if which == "t":
             return pl.BlockSpec(
-                (rb, 1, seq, D), lambda i, n, a, b: (i, n, a, 0),
+                (1, hb, seq, D), lambda b, h, x, y: (b, h, x, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (rb, 1, seq, D), lambda i, n, a, b: (i, n, b, 0),
+            (1, hb, seq, D), lambda b, h, x, y: (b, h, y, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def scalar_spec(order):
-        if order == "t":
+    def scalar_spec(which, hb):
+        if which == "t":
             return pl.BlockSpec(
-                (rb, 1, tb, 1), lambda i, n, a, b: (i, n, a, 0),
+                (1, hb, tb, 1), lambda b, h, x, y: (b, h, x, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (rb, 1, tb, 1), lambda i, n, a, b: (i, n, b, 0),
+            (1, hb, tb, 1), lambda b, h, x, y: (b, h, y, 0),
             memory_space=pltpu.VMEM,
         )
 
-    def nts_spec(n_dim, order):
-        # bias/mask [*, *, T, S] blocks; grid dims (i, n, a, b) where the
-        # (t, s) block index is (a, b) for the dq grid, (b, a) for dk/dv.
+    def nts_spec(n_dim, order, hb):
+        # bias/mask [*, *, T, S] blocks; the (t, s) block index is (x, y)
+        # on the dq grid, (y, x) on the dk/dv grid. Head-collapsed arrays
+        # (n_dim == 1) read block 0 on the head axis; per-head arrays follow
+        # the head-group index.
+        nb = 1 if n_dim == 1 else hb
         if order == "ts":
-            idx = lambda i, n, a, b: (i, 0, a, b)
-            idx_n = lambda i, n, a, b: (i, n, a, b)
+            idx = (lambda b, h, x, y: (b, 0, x, y)) if n_dim == 1 else (
+                lambda b, h, x, y: (b, h, x, y))
         else:
-            idx = lambda i, n, a, b: (i, 0, b, a)
-            idx_n = lambda i, n, a, b: (i, n, b, a)
+            idx = (lambda b, h, x, y: (b, 0, y, x)) if n_dim == 1 else (
+                lambda b, h, x, y: (b, h, y, x))
         return pl.BlockSpec(
-            (rb, 1, tb, sb), idx if n_dim == 1 else idx_n,
-            memory_space=pltpu.VMEM,
+            (1, nb, tb, sb), idx, memory_space=pltpu.VMEM,
         )
 
-    # --- dq: grid (B, N, q-blocks, kv-blocks), kv innermost -----------------
+    # --- dq: grid (B, head-groups, q-blocks, kv-blocks), kv innermost -------
+    hb_q = pick_hb(1)
     in_specs = [
-        row_spec(tb, "t"),            # q
-        row_spec(sb, "s"),            # k
-        row_spec(sb, "s"),            # v
-        nts_spec(bias_n, "ts"),       # bias
-        scalar_spec("t"),             # lse
-        scalar_spec("t"),             # dsum
-        row_spec(tb, "t"),            # dO
+        row_spec(tb, "t", hb_q),            # q
+        row_spec(sb, "s", hb_q),            # k
+        row_spec(sb, "s", hb_q),            # v
+        nts_spec(bias_n, "ts", hb_q),       # bias
+        scalar_spec("t", hb_q),             # lse
+        scalar_spec("t", hb_q),             # dsum
+        row_spec(tb, "t", hb_q),            # dO
     ]
     operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
     prng = None
     seed_arr = None
     if mask is not None:
-        in_specs.append(nts_spec(mask.shape[1], "ts"))
+        in_specs.append(nts_spec(mask.shape[1], "ts", hb_q))
         operands.append(mask)
     elif seed is not None:
         prng = (N, S, _dropout_thresh(dropout_rate))
@@ -662,27 +701,28 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
             scale=scale, num_kv_blocks=Sp // sb, dropout_scale=dropout_scale,
             prng=prng, causal=causal,
         ),
-        grid=(B, N, Tp // tb, Sp // sb),
+        grid=(B, N // hb_q, Tp // tb, Sp // sb),
         in_specs=in_specs,
-        out_specs=row_spec(tb, "t"),
+        out_specs=row_spec(tb, "t", hb_q),
         out_shape=jax.ShapeDtypeStruct((B, N, Tp, D), qt.dtype),
-        scratch_shapes=[pltpu.VMEM((rb, tb, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hb_q, tb, D), jnp.float32)],
         interpret=interpret,
     )(*operands)
 
-    # --- dk/dv: grid (B, N, kv-blocks, q-blocks), q innermost ---------------
+    # --- dk/dv: grid (B, head-groups, kv-blocks, q-blocks), q innermost -----
+    hb_kv = pick_hb(2)
     in_specs = [
-        row_spec(tb, "s"),            # q   (block follows innermost dim b)
-        row_spec(sb, "t"),            # k   (block follows dim a)
-        row_spec(sb, "t"),            # v
-        nts_spec(bias_n, "st"),       # bias (t index = b, s index = a)
-        scalar_spec("s"),             # lse  (q-row scalar, follows b)
-        scalar_spec("s"),             # dsum
-        row_spec(tb, "s"),            # dO
+        row_spec(tb, "s", hb_kv),            # q   (block follows innermost y)
+        row_spec(sb, "t", hb_kv),            # k   (block follows dim x)
+        row_spec(sb, "t", hb_kv),            # v
+        nts_spec(bias_n, "st", hb_kv),       # bias (t index = y, s index = x)
+        scalar_spec("s", hb_kv),             # lse  (q-row scalar, follows y)
+        scalar_spec("s", hb_kv),             # dsum
+        row_spec(tb, "s", hb_kv),            # dO
     ]
     operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
     if mask is not None:
-        in_specs.append(nts_spec(mask.shape[1], "st"))
+        in_specs.append(nts_spec(mask.shape[1], "st", hb_kv))
         operands.append(mask)
     elif seed_arr is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -693,16 +733,16 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
             scale=scale, num_q_blocks=Tp // tb, dropout_scale=dropout_scale,
             prng=prng, causal=causal,
         ),
-        grid=(B, N, Sp // sb, Tp // tb),
+        grid=(B, N // hb_kv, Sp // sb, Tp // tb),
         in_specs=in_specs,
-        out_specs=(row_spec(sb, "t"), row_spec(sb, "t")),
+        out_specs=(row_spec(sb, "t", hb_kv), row_spec(sb, "t", hb_kv)),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, Sp, D), kt.dtype),
             jax.ShapeDtypeStruct((B, N, Sp, D), vt.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rb, sb, D), jnp.float32),
-            pltpu.VMEM((rb, sb, D), jnp.float32),
+            pltpu.VMEM((hb_kv, sb, D), jnp.float32),
+            pltpu.VMEM((hb_kv, sb, D), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
