@@ -134,12 +134,18 @@ class MultiHeadAttention(nn.Module):
             # PyTorch MHA applies dropout to the normalized softmax weights.
             from stlt_tpu.ops.flash import _BLOCKWISE_MIN_SEQ
 
-            use_seed = (
-                self.use_pallas
-                and ring_mesh is None
-                and max(T, S) >= _BLOCKWISE_MIN_SEQ
-            )
-            if use_seed:
+            if ring_mesh is not None:
+                # Sequence-parallel ring: keep bits hash in-kernel from a
+                # seed folded with mesh coordinates + ring-step chunk id
+                # (ops/ring.py) — no O(T²/C) mask buffer per device.
+                from stlt_tpu.ops.ring import ring_attention
+
+                seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+                out = ring_attention(
+                    q, k, v, bias, ring_mesh,
+                    dropout_seed=seed, dropout_rate=self.dropout_rate,
+                )
+            elif self.use_pallas and max(T, S) >= _BLOCKWISE_MIN_SEQ:
                 # Long-context kernel path: the keep bits are HASHED INSIDE
                 # the kernels from a per-call seed — the O(T²) [B, N, T, S]
                 # mask buffer never exists (fwd AND bwd regenerate the same
@@ -164,21 +170,13 @@ class MultiHeadAttention(nn.Module):
                     1.0 - self.dropout_rate,
                     (B, N, T, S),
                 ).astype(v.dtype)
-                if ring_mesh is not None:
-                    from stlt_tpu.ops.ring import ring_attention
-
-                    out = ring_attention(
-                        q, k, v, bias, ring_mesh,
-                        dropout_mask=keep, dropout_rate=self.dropout_rate,
-                    )
-                else:
-                    out = dot_product_attention(
-                        q, k, v, bias,
-                        use_pallas=self.use_pallas,
-                        dropout_mask=keep,
-                        dropout_rate=self.dropout_rate,
-                        causal=self.causal,
-                    )
+                out = dot_product_attention(
+                    q, k, v, bias,
+                    use_pallas=self.use_pallas,
+                    dropout_mask=keep,
+                    dropout_rate=self.dropout_rate,
+                    causal=self.causal,
+                )
         elif ring_mesh is not None:
             from stlt_tpu.ops.ring import ring_attention
 

@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from stlt_tpu.ops.flash import _blockwise_backward, _blockwise_forward
+from stlt_tpu.ops.flash import _blockwise_backward, _blockwise_forward, _lowbias32
 from stlt_tpu.parallel.mesh import CONTEXT_AXIS, DATA_AXIS, MODEL_AXIS
 
 _NEG_INF = -1e30
@@ -62,7 +62,25 @@ class _RingStatics(NamedTuple):
     mesh_axes: tuple
     num_chunks: int
     dropout_rate: float
-    has_mask: bool
+    dropout_mode: str  # "none" | "mask" | "seed"
+    model_size: int = 1
+
+
+def _device_seed(statics: _RingStatics, seed):
+    """Per-device base seed: fold every mesh coordinate in so no two devices
+    share a hash lane (local (b, n, t) indices repeat across shards)."""
+    data_ax, model_ax, ctx_ax = statics.mesh_axes
+    dev = (
+        jax.lax.axis_index(data_ax) * statics.model_size
+        + jax.lax.axis_index(model_ax)
+    ) * statics.num_chunks + jax.lax.axis_index(ctx_ax)
+    return _lowbias32(jnp.uint32(seed) ^ jnp.uint32(dev))
+
+
+def _step_seed(seed_dev, chunk):
+    """Per-ring-step seed: each K/V chunk gets independent bits (the
+    blockwise kernels hash LOCAL coordinates, which repeat per chunk)."""
+    return _lowbias32(seed_dev ^ jnp.uint32(chunk))
 
 
 def _varying(x, mesh_axes):
@@ -77,17 +95,25 @@ def _chunk_cols(arr, chunk, s):
     return jax.lax.dynamic_slice_in_dim(arr, chunk * s, s, axis=3)
 
 
-def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
+def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows,
+                  seed):
     """Per-device forward. q: [b, t, n, d]; k0/v0: [b, s, n, d] (home chunk);
-    bias_rows: [b, 1, t, S]; mask_rows: [b, n|1, t, S] or None.
+    bias_rows: [b, 1, t, S]; mask_rows: [b, n|1, t, S] or None; seed: uint32
+    scalar or None (in-kernel hashed dropout — the sequence-parallel
+    counterpart of the single-device seed path: no O(T²/C) mask per device).
     Returns (out [b, t, n, d], lse [b, n, t])."""
     b, t, n, d = q.shape
     s = k0.shape[1]
     C = statics.num_chunks
     dropout_scale = (
-        1.0 / (1.0 - statics.dropout_rate) if statics.has_mask else 0.0
+        1.0 / (1.0 - statics.dropout_rate)
+        if statics.dropout_mode != "none"
+        else 0.0
     )
     idx = jax.lax.axis_index(statics.axis_name)
+    seed_dev = (
+        _device_seed(statics, seed) if statics.dropout_mode == "seed" else None
+    )
     qt = q.transpose(0, 2, 1, 3)  # [b, n, t, d]
     perm = [(i, (i + 1) % C) for i in range(C)]
 
@@ -95,7 +121,11 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
         k_c, v_c, o_r, lse_r = carry
         chunk = (idx - j) % C
         cols_b = _chunk_cols(bias_rows, chunk, s)
-        cols_m = _chunk_cols(mask_rows, chunk, s) if statics.has_mask else None
+        cols_m = (
+            _chunk_cols(mask_rows, chunk, s)
+            if statics.dropout_mode == "mask"
+            else None
+        )
         # The Pallas blockwise kernel: per-chunk normalized output + lse.
         o_j, lse_j = _blockwise_forward(
             qt,
@@ -104,6 +134,8 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
             cols_b,
             cols_m,
             dropout_scale,
+            seed=_step_seed(seed_dev, chunk) if seed_dev is not None else None,
+            dropout_rate=statics.dropout_rate,
         )
         # Normalized-segment merge (exact online softmax across chunks).
         lse_new = jnp.logaddexp(lse_r, lse_j)
@@ -128,26 +160,31 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_attn(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows):
-    return _ring_forward(statics, q, k0, v0, bias_rows, mask_rows)[0]
+def _ring_attn(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows, seed):
+    return _ring_forward(statics, q, k0, v0, bias_rows, mask_rows, seed)[0]
 
 
-def _ring_attn_fwd(statics, q, k0, v0, bias_rows, mask_rows):
-    out, lse = _ring_forward(statics, q, k0, v0, bias_rows, mask_rows)
+def _ring_attn_fwd(statics, q, k0, v0, bias_rows, mask_rows, seed):
+    out, lse = _ring_forward(statics, q, k0, v0, bias_rows, mask_rows, seed)
     # Residuals are the device's OWN shards only — every entry is 1/C of the
     # global sequence. No rotated chunk is saved.
-    return out, (q, k0, v0, bias_rows, mask_rows, out, lse)
+    return out, (q, k0, v0, bias_rows, mask_rows, seed, out, lse)
 
 
 def _ring_attn_bwd(statics, res, g):
-    q, k0, v0, bias_rows, mask_rows, out, lse = res
+    q, k0, v0, bias_rows, mask_rows, seed, out, lse = res
     b, t, n, d = q.shape
     s = k0.shape[1]
     C = statics.num_chunks
     dropout_scale = (
-        1.0 / (1.0 - statics.dropout_rate) if statics.has_mask else 0.0
+        1.0 / (1.0 - statics.dropout_rate)
+        if statics.dropout_mode != "none"
+        else 0.0
     )
     idx = jax.lax.axis_index(statics.axis_name)
+    seed_dev = (
+        _device_seed(statics, seed) if statics.dropout_mode == "seed" else None
+    )
     perm = [(i, (i + 1) % C) for i in range(C)]
     qt = q.transpose(0, 2, 1, 3)
     gt = g.transpose(0, 2, 1, 3)
@@ -157,7 +194,11 @@ def _ring_attn_bwd(statics, res, g):
         k_c, v_c, dk_c, dv_c, dq_acc = carry
         chunk = (idx - j) % C
         cols_b = _chunk_cols(bias_rows, chunk, s)
-        cols_m = _chunk_cols(mask_rows, chunk, s) if statics.has_mask else None
+        cols_m = (
+            _chunk_cols(mask_rows, chunk, s)
+            if statics.dropout_mode == "mask"
+            else None
+        )
         # Blockwise backward kernels with the GLOBAL lse: p = exp(z − lse)
         # is the globally-normalized probability block, so the per-chunk
         # dq contributions sum to the exact total and (dk_j, dv_j) is the
@@ -172,6 +213,8 @@ def _ring_attn_bwd(statics, res, g):
             out_t,
             lse,
             dropout_scale,
+            seed=_step_seed(seed_dev, chunk) if seed_dev is not None else None,
+            dropout_rate=statics.dropout_rate,
         )
         dq_acc = dq_acc + dq_j.astype(jnp.float32)
         dk_c = dk_c + dk_j.transpose(0, 2, 1, 3).astype(jnp.float32)
@@ -198,6 +241,7 @@ def _ring_attn_bwd(statics, res, g):
         dv.astype(v0.dtype),
         None,
         None,
+        None,
     )
 
 
@@ -213,11 +257,19 @@ def ring_attention(
     *,
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel self-attention. q/k/v: [B, T, N, D] (global view,
     T sharded over the ``context`` mesh axis, N over ``model``); bias
     broadcastable to [B, 1, T, S] (head-invariant — the causal+padding form
-    every model here uses). Returns [B, T, N, D] with the same shardings."""
+    every model here uses). Returns [B, T, N, D] with the same shardings.
+
+    Dropout: pass at most one of ``dropout_mask`` (a global [B, N, T, S]
+    keep mask, sharded by the in_specs — exact-stream tests) or
+    ``dropout_seed`` (uint32 scalar: keep bits hash in-kernel from a seed
+    folded with every mesh coordinate and the ring-step chunk id, so no
+    O(T²/C) mask buffer exists per device — the production train path)."""
+    assert dropout_mask is None or dropout_seed is None
     B, T, N, D = q.shape
     C = mesh.shape[CONTEXT_AXIS]
     assert T % C == 0, f"frame axis {T} must divide context axis {C}"
@@ -232,27 +284,46 @@ def ring_attention(
     bias_spec = P(DATA_AXIS, None, CONTEXT_AXIS, None)
     mask_spec = P(DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS, None)
 
+    mode = "none"
+    if dropout_mask is not None:
+        mode = "mask"
+    elif dropout_seed is not None:
+        mode = "seed"
     statics = _RingStatics(
         axis_name=CONTEXT_AXIS,
         mesh_axes=tuple(mesh.axis_names),
         num_chunks=C,
         dropout_rate=float(dropout_rate),
-        has_mask=dropout_mask is not None,
+        dropout_mode=mode,
+        model_size=mesh.shape[MODEL_AXIS],
     )
-    if dropout_mask is None:
+    if mode == "mask":
         fn = jax.shard_map(
-            lambda q_, k_, v_, b_: _ring_attn(statics, q_, k_, v_, b_, None),
+            lambda q_, k_, v_, b_, m_: _ring_attn(
+                statics, q_, k_, v_, b_, m_, None
+            ),
             mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec),
             out_specs=qkv_spec,
             check_vma=False,
         )
-        return fn(q, k, v, bias)
+        return fn(q, k, v, bias, dropout_mask)
+    if mode == "seed":
+        fn = jax.shard_map(
+            lambda q_, k_, v_, b_, s_: _ring_attn(
+                statics, q_, k_, v_, b_, None, s_
+            ),
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, P()),
+            out_specs=qkv_spec,
+            check_vma=False,
+        )
+        return fn(q, k, v, bias, jnp.asarray(dropout_seed, jnp.uint32))
     fn = jax.shard_map(
-        lambda q_, k_, v_, b_, m_: _ring_attn(statics, q_, k_, v_, b_, m_),
+        lambda q_, k_, v_, b_: _ring_attn(statics, q_, k_, v_, b_, None, None),
         mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec),
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
         out_specs=qkv_spec,
         check_vma=False,
     )
-    return fn(q, k, v, bias, dropout_mask)
+    return fn(q, k, v, bias)

@@ -170,3 +170,63 @@ def test_ring_train_step_uses_less_memory_at_long_context():
     # fori_loop saved every rotated K/V chunk and the spatial stage stayed
     # frame-replicated). Assert a robust margin below the measurement.
     assert temps[2] < 0.75 * temps[1], temps
+
+
+def _expected_ring_seed_mask(seed, mesh_shape, B, N, T, rate):
+    """Replicate the ring's per-device + per-chunk seed folding and the
+    kernels' local-coordinate hash to build the GLOBAL keep mask."""
+    from stlt_tpu.ops.flash import _lowbias32, hash_keep_mask
+
+    DP, MP, C = mesh_shape
+    b_l, n_l, t_l, s_l = B // DP, N // MP, T // C, T // C
+    keep = np.zeros((B, N, T, T), np.float32)
+    for di in range(DP):
+        for mi in range(MP):
+            for ci in range(C):
+                dev = (di * MP + mi) * C + ci
+                seed_dev = _lowbias32(jnp.uint32(seed) ^ jnp.uint32(dev))
+                for c in range(C):
+                    seed_step = _lowbias32(seed_dev ^ jnp.uint32(c))
+                    block = np.asarray(
+                        hash_keep_mask(seed_step, b_l, n_l, t_l, s_l, rate)
+                    )
+                    keep[
+                        di * b_l:(di + 1) * b_l,
+                        mi * n_l:(mi + 1) * n_l,
+                        ci * t_l:(ci + 1) * t_l,
+                        c * s_l:(c + 1) * s_l,
+                    ] = block
+    return jnp.asarray(keep)
+
+
+def test_ring_seed_dropout_matches_reconstructed_mask():
+    """dropout_seed on the ring (the production SP train path — no O(T²/C)
+    mask per device): forward and gradients must equal the XLA reference
+    fed the reconstructed global keep mask, across a DP×TP×SP mesh."""
+    mesh = make_mesh(model_parallel=2, context_parallel=2)
+    DP = mesh.shape["data"]
+    rng = np.random.default_rng(7)
+    B, T, N, D, rate = 4, 64, 4, 8, 0.25
+    q, k, v = _qkv(rng, B, T, N, D)
+    bias = masks.causal_bias(T)
+    seed = jnp.uint32(0x5EED)
+    keep = _expected_ring_seed_mask(seed, (DP, 2, 2), B, N, T, rate)
+
+    got = jax.jit(
+        lambda *a: ring_attention(*a, mesh, dropout_seed=seed, dropout_rate=rate)
+    )(q, k, v, bias)
+    want = dot_product_attention_reference(q, k, v, bias, keep, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    def loss_ring(a, b, c):
+        return ring_attention(
+            a, b, c, bias, mesh, dropout_seed=seed, dropout_rate=rate
+        ).sum()
+
+    def loss_ref(a, b, c):
+        return dot_product_attention_reference(a, b, c, bias, keep, rate).sum()
+
+    gk = jax.jit(jax.grad(loss_ring, (0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)

@@ -97,3 +97,39 @@ def test_bf16_grad_accum_train_step():
 
 def test_f32_pallas_remat_train_step():
     _one_step("lcf", dtype="float32", use_pallas=True, remat=True)
+
+
+def test_long_context_bf16_pallas_train_step():
+    """The round-3 train-path features in one combo: blockwise-dispatched
+    length (513 frames) × bf16 × pallas × dropout — the KV-loop Pallas
+    backward, in-kernel hashed dropout, and causal block skipping all run in
+    a REAL compiled train step (this corner is exactly where an untested
+    {feature × train} interaction would rot)."""
+    cfg = make_model_config(
+        "stlt",
+        num_classes=5,
+        unique_categories=4,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_spatial_layers=1,
+        num_temporal_layers=1,
+        layout_num_frames=513,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](cfg)
+    batch = _synthetic_layout_batch(8, 513, 4, 4)  # 8 divides the CPU mesh
+    batch["labels"] = batch["labels"] % 5
+    batch["valid"] = np.ones(8, bool)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    tx = make_optimizer(params, learning_rate=1e-3, weight_decay=1e-3,
+                        clip_val=5.0, num_warmup_steps=1, num_training_steps=5)
+    state = create_train_state(params, tx)
+    steps = compile_steps(make_mesh(1), model, tx, make_criterion("something"),
+                          state=state)
+    state = jax.device_put(state, steps.state_sharding)
+    state, loss = steps.train_step(state, batch, np.uint32(7))
+    assert np.isfinite(float(loss))
+    state, loss2 = steps.train_step(state, batch, np.uint32(7))
+    assert np.isfinite(float(loss2)) and float(loss2) != float(loss)
