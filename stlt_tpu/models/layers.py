@@ -97,6 +97,7 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         H, N = self.hidden_size, self.num_heads
         assert H % N == 0
@@ -128,12 +129,24 @@ class MultiHeadAttention(nn.Module):
         from stlt_tpu.parallel.mesh import active_context_mesh
 
         ring_mesh = active_context_mesh() if self.seq_shard else None
+        # kv_lengths (+ causal) replaces the dense [B, 1, T, S] bias on the
+        # blockwise-dispatched pallas path: the kernels generate the
+        # key-padding/causal bias in place and the dense array is DCE'd —
+        # the last O(T²) buffer gone from long-context training.
+        from stlt_tpu.ops.flash import _BLOCKWISE_MIN_SEQ
+
+        use_lengths = (
+            kv_lengths is not None
+            and self.use_pallas
+            and ring_mesh is None
+            and max(query.shape[1], key.shape[1]) >= _BLOCKWISE_MIN_SEQ
+        )
+        attn_bias = None if use_lengths else bias
+        attn_lengths = kv_lengths if use_lengths else None
 
         apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
         if apply_prob_dropout:
             # PyTorch MHA applies dropout to the normalized softmax weights.
-            from stlt_tpu.ops.flash import _BLOCKWISE_MIN_SEQ
-
             if ring_mesh is not None:
                 # Sequence-parallel ring: keep bits hash in-kernel from a
                 # seed folded with mesh coordinates + ring-step chunk id
@@ -152,11 +165,12 @@ class MultiHeadAttention(nn.Module):
                 # bits from the counter hash; ops/flash.py).
                 seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
                 out = dot_product_attention(
-                    q, k, v, bias,
+                    q, k, v, attn_bias,
                     use_pallas=True,
                     dropout_seed=seed,
                     dropout_rate=self.dropout_rate,
                     causal=self.causal,
+                    kv_lengths=attn_lengths,
                 )
             else:
                 # Short sequences: the mask is small; sampling it HERE keeps
@@ -171,11 +185,12 @@ class MultiHeadAttention(nn.Module):
                     (B, N, T, S),
                 ).astype(v.dtype)
                 out = dot_product_attention(
-                    q, k, v, bias,
+                    q, k, v, attn_bias,
                     use_pallas=self.use_pallas,
                     dropout_mask=keep,
                     dropout_rate=self.dropout_rate,
                     causal=self.causal,
+                    kv_lengths=attn_lengths,
                 )
         elif ring_mesh is not None:
             from stlt_tpu.ops.ring import ring_attention
@@ -183,7 +198,8 @@ class MultiHeadAttention(nn.Module):
             out = ring_attention(q, k, v, bias, ring_mesh)
         else:
             out = dot_product_attention(
-                q, k, v, bias, use_pallas=self.use_pallas, causal=self.causal
+                q, k, v, attn_bias, use_pallas=self.use_pallas,
+                causal=self.causal, kv_lengths=attn_lengths,
             )
 
         out = out.reshape(B, T, H)
@@ -231,6 +247,7 @@ class TransformerEncoderLayer(nn.Module):
         x: jnp.ndarray,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,  # positional: nn.remat static_argnums=(3,)
+        kv_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         attn_out = MultiHeadAttention(
             hidden_size=self.hidden_size,
@@ -241,7 +258,7 @@ class TransformerEncoderLayer(nn.Module):
             seq_shard=self.seq_shard,
             causal=self.causal,
             name="self_attn",
-        )(x, x, x, bias, deterministic=deterministic)
+        )(x, x, x, bias, deterministic=deterministic, kv_lengths=kv_lengths)
         attn_out = nn.Dropout(rate=self.dropout_rate)(
             attn_out, deterministic=deterministic
         )
@@ -287,10 +304,12 @@ class TransformerEncoder(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         layer_cls = TransformerEncoderLayer
         if self.remat:
-            # args: (self, x, bias, deterministic) — deterministic is static
+            # args: (self, x, bias, deterministic, kv_lengths) —
+            # deterministic (index 3) is the only static one
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
             x = layer_cls(
@@ -305,5 +324,5 @@ class TransformerEncoder(nn.Module):
                 seq_shard=self.seq_shard,
                 causal=self.causal,
                 name=f"layers_{i}",
-            )(x, bias, deterministic)
+            )(x, bias, deterministic, kv_lengths)
         return x

@@ -168,6 +168,13 @@ class StltBackbone(nn.Module):
         bias = masks.causal_bias(num_frames) + masks.key_padding_bias(
             masks.frames_padding_mask(batch["frame_types"])
         )
+        # Per-clip frame count (pad frames are tail-contiguous — the static-
+        # shape datasets' invariant): at blockwise-dispatched lengths the
+        # pallas kernels regenerate this bias from kv_lengths in place and
+        # the dense [B, 1, F, F] array above is dead-code-eliminated.
+        kv_lengths = jnp.sum(
+            batch["frame_types"] != 0, axis=1, dtype=jnp.int32
+        )
         return TransformerEncoder(
             num_layers=cfg.num_temporal_layers,
             hidden_size=cfg.hidden_size,
@@ -186,7 +193,8 @@ class StltBackbone(nn.Module):
             causal=True,
             remat=cfg.remat,
             name="transformer",
-        )(embeddings, bias, deterministic=deterministic)  # [B, F, H]
+        )(embeddings, bias, deterministic=deterministic,
+          kv_lengths=kv_lengths)  # [B, F, H]
 
 
 class ClassificationHead(nn.Module):

@@ -80,6 +80,7 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch between the fused Pallas kernel and the XLA reference path.
 
@@ -93,7 +94,7 @@ def dot_product_attention(
         return flash_attention(
             q, k, v, bias=bias, dropout_mask=dropout_mask,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-            causal=causal,
+            causal=causal, kv_lengths=kv_lengths,
         )
     if dropout_seed is not None and dropout_mask is None:
         from stlt_tpu.ops.flash import hash_keep_mask

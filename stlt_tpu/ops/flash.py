@@ -182,6 +182,25 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
     bytes_per_row = (2 * t * d + 2 * s * d + 2 * t * s) * 4
     target = (1 if masked else 4) * 1024 * 1024
     rb0 = max(1, min(target // max(bytes_per_row, 1), rows))
+    # Hard safety cap from the TILED footprint: VMEM blocks pad the last
+    # axis to 128 lanes and the one before to 8 sublanes, so small t/s/d
+    # inflate the real allocation far past the nominal estimate (observed:
+    # t=s=4, d=8 → 16× → scoped-VMEM OOM on hardware at rb=rows). Bound the
+    # per-program padded bytes (q + k + v + bias + probs scratch + out,
+    # mask if present) by 14 MB of the 16 MB scoped limit. At the measured
+    # production shapes (t=s=8, d=64) the cap sits above the 4 MB-target
+    # choice, so tuned blocks are unchanged.
+    t_sub, s_sub = -(t // -8) * 8, -(s // -8) * 8          # sublane axes
+    s_lane, d_lane = -(s // -128) * 128, -(d // -128) * 128  # lane axes
+    padded_per_row = (
+        t_sub * d_lane              # q block [rb, 1, t, d]
+        + 2 * s_sub * d_lane        # k, v blocks [rb, 1, s, d]
+        + 2 * t_sub * s_lane        # bias block + logits/probs stack scratch
+        + t_sub * d_lane            # out block
+        + (t_sub * s_lane if masked else 0)
+    ) * 4
+    rb_safe = max(1, (14 * 1024 * 1024) // padded_per_row)
+    rb0 = min(rb0, rb_safe)
     # (pad waste, prefer larger block) over the half-to-full target range.
     rb = min(range(max(1, rb0 // 2), rb0 + 1), key=lambda r: ((-rows) % r, -r))
     pad = (-rows) % rb
@@ -251,10 +270,30 @@ def _keep_block_heads(seed, b, n0, t0, s0, shape, num_heads, s_total, thresh):
     return (h >= jnp.uint32(thresh)).astype(jnp.float32)
 
 
+def _block_bias(bias_ref, lengths_bias, causal, b_i, t_i, s_i, shape):
+    """The additive bias tile for one (t, s) block: read from the dense
+    [*, bn, tb, sb] operand, or GENERATED from the clip's kv length (the
+    whole [B] int32 vector rides in SMEM un-blocked — TPU lowering rejects
+    rank-1 sub-array blocks — and each program reads its own element) + the
+    causal rule. The lengths mode is what removes the last O(T²) HBM buffer
+    from the long-context path (the [B, 1, T, S] bias)."""
+    if not lengths_bias:
+        return bias_ref[0].astype(jnp.float32)
+    tb, sb = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, sb), 0) + t_i * tb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, sb), 1) + s_i * sb
+    valid = cols < bias_ref[b_i]
+    if causal:
+        valid = valid & (cols <= rows)
+    # [tb, sb], broadcasts over the head axis of the logits.
+    return jnp.where(valid, 0.0, _NEG_INF)
+
+
 def _blockwise_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
+    lengths_bias: bool = False,
 ):
     """Blockwise forward, ALL HEADS per program.
 
@@ -296,7 +335,10 @@ def _blockwise_attn_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # batch = heads
             preferred_element_type=jnp.float32,
         )
-        logits = logits * scale + bias_ref[0].astype(jnp.float32)
+        logits = logits * scale + _block_bias(
+            bias_ref, lengths_bias, causal, b_i, t_i, s_i,
+            (q_ref.shape[2], k_ref.shape[2]),
+        )
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
         p = jnp.exp(logits - m_new[..., None])
@@ -357,29 +399,34 @@ def _blockwise_block_sizes(T: int, S: int):
 
 
 def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
-                       seed=None, dropout_rate=0.0, causal=False):
-    """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias_arr: [B, bn, T, S];
-    dropout via EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed``
-    (uint32 scalar -> in-kernel hash bits; nothing [T, S] ships from HBM).
-    Returns (out [B, N, T, D], lse [B, N, T] row logsumexp)."""
+                       seed=None, dropout_rate=0.0, causal=False,
+                       kv_lengths=None):
+    """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias via EITHER a dense
+    ``bias_arr`` [B, bn, T, S] OR ``kv_lengths`` [B] int32 (+ ``causal``) —
+    the lengths mode generates the key-padding/causal bias IN-KERNEL from
+    iota comparisons, so no [B, 1, T, S] buffer exists at all. Dropout via
+    EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed`` (uint32 scalar ->
+    in-kernel hash bits). Returns (out [B, N, T, D], lse [B, N, T])."""
     B, N, T, D = qt.shape
     S = kt.shape[2]
     scale = 1.0 / (D ** 0.5)
     out_dtype = vt.dtype
+    lengths_bias = kv_lengths is not None
 
     tb, sb = _blockwise_block_sizes(T, S)
     # Pad to block multiples: padded KV columns get large-negative bias
-    # (contribute exp(.)=0); padded Q rows get bias 0 (garbage rows, sliced
-    # off after the call — never NaN because l >= exp(0) > 0).
+    # (contribute exp(.)=0; in lengths mode col >= S >= length masks them);
+    # padded Q rows get bias 0 (garbage rows, sliced off after the call —
+    # never NaN because l >= exp(0) > 0).
     qt = _pad_to(qt, 2, tb)
     kt = _pad_to(kt, 2, sb)
     vt = _pad_to(vt, 2, sb)
-    bias_arr = _pad_to(bias_arr, 3, sb, value=_NEG_INF)
-    bias_arr = _pad_to(bias_arr, 2, tb, value=0.0)
+    if not lengths_bias:
+        bias_arr = _pad_to(bias_arr, 3, sb, value=_NEG_INF)
+        bias_arr = _pad_to(bias_arr, 2, tb, value=0.0)
     if mask is not None:
         mask = _pad_to(_pad_to(mask, 3, sb), 2, tb)
     Tp, Sp = qt.shape[2], kt.shape[2]
-    bias_n = bias_arr.shape[1]
 
     grid = (B, Tp // tb, Sp // sb)
 
@@ -403,8 +450,16 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
         (1, N, tb, 1), lambda b, t, s: (b, 0, t, 0), memory_space=pltpu.VMEM
     )
 
-    in_specs = [q_spec, kv_spec, kv_spec, nts_spec(bias_n)]
-    operands = [qt, kt, vt, bias_arr]
+    if lengths_bias:
+        # Whole [B] vector un-blocked in SMEM (TPU lowering rejects rank-1
+        # sub-array blocks); each program indexes its own element by b_i.
+        bias_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        bias_operand = jnp.asarray(kv_lengths, jnp.int32)
+    else:
+        bias_spec = nts_spec(bias_arr.shape[1])
+        bias_operand = bias_arr
+    in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+    operands = [qt, kt, vt, bias_operand]
     prng = None
     if mask is not None:
         in_specs.append(nts_spec(mask.shape[1]))
@@ -422,6 +477,7 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
             dropout_scale=dropout_scale,
             prng=prng,
             causal=causal,
+            lengths_bias=lengths_bias,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -444,6 +500,7 @@ def _blockwise_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
+    lengths_bias: bool = False,
 ):
     """dq for one (batch-row, q-block), ALL HEADS: KV loop innermost,
     probability block recomputed from the forward's saved logsumexp —
@@ -473,7 +530,10 @@ def _blockwise_dq_kernel(
         z = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[0].astype(jnp.float32)
+        ) * scale + _block_bias(
+            bias_ref, lengths_bias, causal, b_i, t_i, s_i,
+            (q_ref.shape[2], k_ref.shape[2]),
+        )
         p = jnp.exp(z - lse[..., None])       # [N, tb, sb]; <= 1 by lse >= m
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -511,6 +571,7 @@ def _blockwise_dkdv_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_q_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
+    lengths_bias: bool = False,
 ):
     """dk/dv for one (batch-row, kv-block), ALL HEADS: Q loop innermost.
     dv = (p∘keepc)ᵀ dO; dk = dzᵀ Q·scale with dz as in the dq kernel."""
@@ -539,7 +600,10 @@ def _blockwise_dkdv_kernel(
         z = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[0].astype(jnp.float32)
+        ) * scale + _block_bias(
+            bias_ref, lengths_bias, causal, b_i, t_i, s_i,
+            (q_ref.shape[2], k_ref.shape[2]),
+        )
         p = jnp.exp(z - lse[..., None])       # [N, tb, sb]
         pv = p
         dp = jax.lax.dot_general(
@@ -584,7 +648,7 @@ def _blockwise_dkdv_kernel(
 
 def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
                         dropout_scale=0.0, seed=None, dropout_rate=0.0,
-                        causal=False):
+                        causal=False, kv_lengths=None):
     """KV-loop Pallas backward (long-context train path), heads-in-block.
 
     All activation-shaped tensors are [B, N, T/S, D] (head-major); bias_arr
@@ -602,19 +666,20 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
 
     dsum = jnp.sum(dOt.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1)
 
+    lengths_bias = kv_lengths is not None
     tb, sb = _blockwise_block_sizes(T, S)
     qt = _pad_to(qt, 2, tb)
     dOt = _pad_to(dOt, 2, tb)
     kt = _pad_to(kt, 2, sb)
     vt = _pad_to(vt, 2, sb)
-    bias_arr = _pad_to(bias_arr, 3, sb, value=_NEG_INF)
-    bias_arr = _pad_to(bias_arr, 2, tb, value=0.0)
+    if not lengths_bias:
+        bias_arr = _pad_to(bias_arr, 3, sb, value=_NEG_INF)
+        bias_arr = _pad_to(bias_arr, 2, tb, value=0.0)
     if mask is not None:
         mask = _pad_to(_pad_to(mask, 3, sb), 2, tb)
     lse4 = _pad_to(lse[..., None], 2, tb)  # [B, N, Tp, 1]
     dsum4 = _pad_to(dsum[..., None], 2, tb)
     Tp, Sp = qt.shape[2], kt.shape[2]
-    bias_n = bias_arr.shape[1]
     interpret = jax.default_backend() == "cpu"
 
     # Head-group size: all-heads blocks OOM the 16 MB scoped-VMEM limit in
@@ -673,18 +738,28 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
             (1, nb, tb, sb), idx, memory_space=pltpu.VMEM,
         )
 
+    def bias_spec(order, hb):
+        if lengths_bias:
+            # Whole [B] vector un-blocked in SMEM (see _blockwise_forward).
+            return pl.BlockSpec(memory_space=pltpu.SMEM)
+        return nts_spec(bias_arr.shape[1], order, hb)
+
+    bias_operand = (
+        jnp.asarray(kv_lengths, jnp.int32) if lengths_bias else bias_arr
+    )
+
     # --- dq: grid (B, head-groups, q-blocks, kv-blocks), kv innermost -------
     hb_q = pick_hb(1)
     in_specs = [
         row_spec(tb, "t", hb_q),            # q
         row_spec(sb, "s", hb_q),            # k
         row_spec(sb, "s", hb_q),            # v
-        nts_spec(bias_n, "ts", hb_q),       # bias
+        bias_spec("ts", hb_q),              # bias (dense tile or SMEM length)
         scalar_spec("t", hb_q),             # lse
         scalar_spec("t", hb_q),             # dsum
         row_spec(tb, "t", hb_q),            # dO
     ]
-    operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
+    operands = [qt, kt, vt, bias_operand, lse4, dsum4, dOt]
     prng = None
     seed_arr = None
     if mask is not None:
@@ -699,7 +774,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
         functools.partial(
             _blockwise_dq_kernel,
             scale=scale, num_kv_blocks=Sp // sb, dropout_scale=dropout_scale,
-            prng=prng, causal=causal,
+            prng=prng, causal=causal, lengths_bias=lengths_bias,
         ),
         grid=(B, N // hb_q, Tp // tb, Sp // sb),
         in_specs=in_specs,
@@ -715,12 +790,12 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
         row_spec(tb, "s", hb_kv),            # q   (block follows innermost y)
         row_spec(sb, "t", hb_kv),            # k   (block follows dim x)
         row_spec(sb, "t", hb_kv),            # v
-        nts_spec(bias_n, "st", hb_kv),       # bias (t index = y, s index = x)
+        bias_spec("st", hb_kv),              # bias (t index = y, s index = x)
         scalar_spec("s", hb_kv),             # lse  (q-row scalar, follows y)
         scalar_spec("s", hb_kv),             # dsum
         row_spec(tb, "s", hb_kv),            # dO
     ]
-    operands = [qt, kt, vt, bias_arr, lse4, dsum4, dOt]
+    operands = [qt, kt, vt, bias_operand, lse4, dsum4, dOt]
     if mask is not None:
         in_specs.append(nts_spec(mask.shape[1], "st", hb_kv))
         operands.append(mask)
@@ -731,7 +806,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
         functools.partial(
             _blockwise_dkdv_kernel,
             scale=scale, num_q_blocks=Tp // tb, dropout_scale=dropout_scale,
-            prng=prng, causal=causal,
+            prng=prng, causal=causal, lengths_bias=lengths_bias,
         ),
         grid=(B, N // hb_kv, Sp // sb, Tp // tb),
         in_specs=in_specs,
@@ -758,9 +833,16 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q: [B, T, N, D]; k, v: [B, S, N, D]; bias broadcastable to
-    [B, N, T, S] (given with leading dims of size 1 or matching).
+    [B, N, T, S] (given with leading dims of size 1 or matching) — or, for
+    the key-padding+causal form every model here uses, ``kv_lengths`` [B]
+    int32 (+ ``causal``): key s of clip b attends iff ``s < kv_lengths[b]``
+    (and ``s <= t`` when causal). On the blockwise path the bias is then
+    GENERATED IN-KERNEL from iota comparisons — no [B, 1, T, S] array is
+    ever built, removing the last O(T²) HBM buffer from long-context
+    training (requires tail-contiguous padding, the datasets' invariant).
     Returns [B, T, N, D].
 
     PyTorch-style attention-probability dropout (drop the NORMALIZED
@@ -783,6 +865,9 @@ def flash_attention(
     the MXU work disappears.
     """
     assert dropout_mask is None or dropout_seed is None
+    assert bias is None or kv_lengths is None, (
+        "pass a dense bias OR kv_lengths (+ causal), not both"
+    )
     bias4 = None
     if bias is not None:
         bias4 = jnp.asarray(bias, jnp.float32)
@@ -790,13 +875,26 @@ def flash_attention(
             bias4 = bias4[None]
     return _flash_custom(
         float(dropout_rate), bool(causal), q, k, v, bias4, dropout_mask,
-        dropout_seed,
+        dropout_seed, kv_lengths,
     )
 
 
+def _lengths_dense_bias(kv_lengths, T, S, causal):
+    """Dense [B, 1, T, S] bias equivalent to the lengths mode — the
+    short-sequence fallback (tiny there) and the XLA recompute backward."""
+    cols = jnp.arange(S)
+    valid = cols[None, :] < jnp.asarray(kv_lengths, jnp.int32)[:, None]  # [B, S]
+    if causal:
+        valid = valid[:, None, :] & (cols[None, None, :] <= jnp.arange(T)[None, :, None])
+        return jnp.where(valid, 0.0, _NEG_INF)[:, None].astype(jnp.float32)
+    return jnp.where(valid, 0.0, _NEG_INF)[:, None, None, :].astype(jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _flash_custom(dropout_rate, causal, q, k, v, bias4, mask, seed):
-    return _flash_forward(q, k, v, bias4, mask, dropout_rate, seed, causal)[0]
+def _flash_custom(dropout_rate, causal, q, k, v, bias4, mask, seed, kv_lengths):
+    return _flash_forward(
+        q, k, v, bias4, mask, dropout_rate, seed, causal, kv_lengths
+    )[0]
 
 
 def _broadcast_bias(bias4, B, T, S):
@@ -809,7 +907,8 @@ def _broadcast_bias(bias4, B, T, S):
     return jnp.broadcast_to(bias_arr, (B, bias_arr.shape[1], T, S))
 
 
-def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False):
+def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False,
+                   kv_lengths=None):
     """Returns (out, residual): residual is (out_t, lse) head-major on the
     blockwise path (consumed by the Pallas backward), or None on the
     short-sequence path (whose backward recomputes through XLA)."""
@@ -823,15 +922,24 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False):
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    bias_arr = _broadcast_bias(bias4, B, T, S)
-    bias_n = bias_arr.shape[1]
 
     if max(T, S) >= _BLOCKWISE_MIN_SEQ:
+        # Lengths mode: the bias is generated in-kernel — NO [B, *, T, S]
+        # array is built here at all.
+        bias_arr = (
+            None if kv_lengths is not None else _broadcast_bias(bias4, B, T, S)
+        )
         out_t, lse = _blockwise_forward(
             qt, kt, vt, bias_arr, mask, dropout_scale, seed, dropout_rate,
-            causal,
+            causal, kv_lengths,
         )
         return out_t.transpose(0, 2, 1, 3), (out_t, lse)
+
+    if kv_lengths is not None and bias4 is None:
+        # Short-sequence fallback: the dense equivalent is tiny here.
+        bias4 = _lengths_dense_bias(kv_lengths, T, S, causal)
+    bias_arr = _broadcast_bias(bias4, B, T, S)
+    bias_n = bias_arr.shape[1]
 
     rb = _pick_row_block(B, T, S, D, masked=dropout_on)
     pad_rows = (-B) % rb
@@ -886,15 +994,15 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False):
     return out[:B].transpose(0, 2, 1, 3), None
 
 
-def _flash_fwd(dropout_rate, causal, q, k, v, bias4, mask, seed):
+def _flash_fwd(dropout_rate, causal, q, k, v, bias4, mask, seed, kv_lengths):
     out, residual = _flash_forward(
-        q, k, v, bias4, mask, dropout_rate, seed, causal
+        q, k, v, bias4, mask, dropout_rate, seed, causal, kv_lengths
     )
-    return out, (q, k, v, bias4, mask, seed, residual)
+    return out, (q, k, v, bias4, mask, seed, kv_lengths, residual)
 
 
 def _flash_bwd(dropout_rate, causal, residuals, g):
-    q, k, v, bias4, mask, seed, residual = residuals
+    q, k, v, bias4, mask, seed, kv_lengths, residual = residuals
     if residual is not None:
         # Blockwise-dispatched shape: KV-loop Pallas backward — the
         # [B, N, T, S] probability tensor stays out of HBM in training too.
@@ -907,7 +1015,7 @@ def _flash_bwd(dropout_rate, causal, residuals, g):
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
-            _broadcast_bias(bias4, B, T, S),
+            None if kv_lengths is not None else _broadcast_bias(bias4, B, T, S),
             mask,
             g.transpose(0, 2, 1, 3),
             out_t,
@@ -916,11 +1024,13 @@ def _flash_bwd(dropout_rate, causal, residuals, g):
             seed,
             dropout_rate,
             causal,
+            kv_lengths,
         )
         return (
             dq_t.transpose(0, 2, 1, 3).astype(q.dtype),
             dk_t.transpose(0, 2, 1, 3).astype(k.dtype),
             dv_t.transpose(0, 2, 1, 3).astype(v.dtype),
+            None,
             None,
             None,
             None,
@@ -932,6 +1042,8 @@ def _flash_bwd(dropout_rate, causal, residuals, g):
     if seed is not None:
         B, T, N, D = q.shape
         mask = hash_keep_mask(seed, B, N, T, k.shape[1], dropout_rate)
+    if kv_lengths is not None and bias4 is None:
+        bias4 = _lengths_dense_bias(kv_lengths, q.shape[1], k.shape[1], causal)
     _, vjp = jax.vjp(
         lambda q_, k_, v_: dot_product_attention_reference(
             q_, k_, v_, bias4, mask, dropout_rate
@@ -939,7 +1051,7 @@ def _flash_bwd(dropout_rate, causal, residuals, g):
         q, k, v,
     )
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None, None
+    return dq, dk, dv, None, None, None, None
 
 
 _flash_custom.defvjp(_flash_fwd, _flash_bwd)

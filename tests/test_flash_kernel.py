@@ -431,3 +431,83 @@ def test_causal_skip_matches_unskipped(T):
     gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+# --- in-kernel lengths-generated bias (no O(T^2) bias buffer) ----------------
+
+
+@pytest.mark.parametrize("T,causal", [(640, True), (640, False), (48, True)])
+def test_kv_lengths_matches_dense_bias(T, causal):
+    """kv_lengths (+ causal) must equal the dense-bias path exactly —
+    forward and gradients, blockwise and short dispatch, with hashed
+    dropout. (Blockwise: the bias is generated in-kernel; short: the dense
+    equivalent is built as a fallback.)"""
+    rng = np.random.default_rng(23)
+    B, N, D, rate = 2, 2, 16, 0.2
+    q, k, v = _rand_qkv(rng, B, T, T, N, D)
+    lengths = jnp.asarray([T - 37, T], jnp.int32)
+    pad = np.zeros((B, T), bool)
+    pad[0, T - 37:] = True
+    bias = masks.key_padding_bias(jnp.asarray(pad))
+    if causal:
+        bias = bias + masks.causal_bias(T)
+    seed = jnp.uint32(0xC0FFEE)
+
+    def f_len(a, b, c):
+        return flash_attention(
+            a, b, c, dropout_seed=seed, dropout_rate=rate,
+            causal=causal, kv_lengths=lengths,
+        )
+
+    def f_dense(a, b, c):
+        return flash_attention(
+            a, b, c, bias, dropout_seed=seed, dropout_rate=rate, causal=causal
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(f_len(q, k, v)), np.asarray(f_dense(q, k, v)),
+        atol=1e-6, rtol=1e-6,
+    )
+    gl = jax.grad(lambda *a: f_len(*a).sum(), (0, 1, 2))(q, k, v)
+    gd = jax.grad(lambda *a: f_dense(*a).sum(), (0, 1, 2))(q, k, v)
+    for a, b in zip(gl, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+
+def test_model_long_context_uses_lengths_bias():
+    """STLT at a blockwise length routes the temporal bias through
+    kv_lengths: the dense [B, 1, F, F] bias must be DCE'd — NOTHING with two
+    sequence-sized axes (i.e. O(F²)-shaped) survives anywhere in the eval
+    jaxpr. (Plain size thresholds don't work: legit O(F) activations like
+    the spatial FFN's [B·F, O, 4H] can rival the bias in element count.)"""
+    from tests.test_long_context_memory import _max_quadratic_size
+    from __graft_entry__ import _synthetic_layout_batch
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
+    B, F = 2, 513
+    batch = _synthetic_layout_batch(B, F, 4, 4, seed=5)
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    cfg = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        layout_num_frames=F, use_pallas=True,
+    )
+    model = models_factory["stlt"](cfg)
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    quad = _max_quadratic_size(
+        lambda p, x: model.apply({"params": p}, x), F, params, inputs
+    )
+    assert quad == 0, quad
+    # Sanity: the same scan DOES see the bias when kv_lengths is disabled
+    # (use_pallas=False keeps the dense-bias path).
+    cfg_dense = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        layout_num_frames=F, use_pallas=False,
+    )
+    model_d = models_factory["stlt"](cfg_dense)
+    quad_d = _max_quadratic_size(
+        lambda p, x: model_d.apply({"params": p}, x), F, params, inputs
+    )
+    assert quad_d >= B * (F + 1) * (F + 1), quad_d

@@ -41,8 +41,15 @@ def _max_intermediate_size(fn, *args):
     """Largest intermediate aval (elements) anywhere in fn's jaxpr,
     recursing into call/custom_vjp/scan sub-jaxprs. Pallas kernel jaxprs are
     EXCLUDED — their values are VMEM blocks by construction, asserted
-    separately via the block shapes."""
+    separately via the block shapes. Dead code is eliminated first
+    (make_jaxpr keeps it; the compiler would not) — this is what lets the
+    kv_lengths path prove the dense bias never exists."""
+    from jax._src.interpreters import partial_eval as pe
+
     closed = jax.make_jaxpr(fn)(*args)
+    dced_jaxpr, _ = pe.dce_jaxpr(
+        closed.jaxpr, [True] * len(closed.jaxpr.outvars)
+    )
     biggest = 0
 
     def walk(jaxpr):
@@ -57,7 +64,38 @@ def _max_intermediate_size(fn, *args):
             for sub in _iter_sub_jaxprs(eqn.params):
                 walk(sub)
 
-    walk(closed.jaxpr)
+    walk(dced_jaxpr)
+    return biggest
+
+
+def _max_quadratic_size(fn, seq_threshold, *args):
+    """Largest intermediate aval with TWO OR MORE axes >= seq_threshold —
+    i.e. anything O(T·S)-shaped — after DCE, recursing like
+    _max_intermediate_size (pallas kernel bodies excluded; their VMEM blocks
+    are bounded by the block specs). 0 means no quadratic-in-sequence buffer
+    survives anywhere in the traced computation."""
+    from jax._src.interpreters import partial_eval as pe
+
+    closed = jax.make_jaxpr(fn)(*args)
+    dced_jaxpr, _ = pe.dce_jaxpr(
+        closed.jaxpr, [True] * len(closed.jaxpr.outvars)
+    )
+    biggest = 0
+
+    def walk(jaxpr):
+        nonlocal biggest
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                continue
+            for var in eqn.outvars:
+                aval = getattr(var, "aval", None)
+                shape = getattr(aval, "shape", ())
+                if sum(d >= seq_threshold for d in shape) >= 2:
+                    biggest = max(biggest, aval.size)
+            for sub in _iter_sub_jaxprs(eqn.params):
+                walk(sub)
+
+    walk(dced_jaxpr)
     return biggest
 
 

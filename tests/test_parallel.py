@@ -194,3 +194,39 @@ def test_eval_counts_step_matches_host_evaluator(tiny_setup):
     device = EvaluatorSomething(6, 7, model.logit_names)
     device.process_counts(jax.device_get(steps.eval_counts_step(sharded, batch)))
     assert device.evaluate() == host.evaluate()
+
+
+def test_tp_invariance_with_pallas_kernels():
+    """use_pallas under model parallelism: logits must match mp=1 bitwise-
+    modulo-f32. (On the CPU mesh the kernels lower through the interpreter,
+    which GSPMD shards like regular ops; on real multi-chip TP the opaque
+    custom call is replicated around — correct, with extra collectives —
+    see docs/ARCHITECTURE.md.)"""
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_layout_batch
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.parallel.mesh import make_mesh, set_active_mesh
+    from stlt_tpu.training.loop import compile_steps
+
+    cfg = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](cfg)
+    batch = _synthetic_layout_batch(8, 6, 4, 4, seed=0)
+    batch["valid"] = np.ones(8, bool)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    set_active_mesh(None)
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    outs = {}
+    for mp in (1, 2, 4):
+        mesh = make_mesh(mp)
+        steps = compile_steps(mesh, model, params_template=params,
+                              batch_template=batch)
+        p = jax.device_put(params, steps.params_sharding)
+        outs[mp] = np.asarray(steps.eval_step(p, batch)["stlt"])
+    np.testing.assert_allclose(outs[2], outs[1], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs[4], outs[1], atol=1e-5, rtol=1e-5)
