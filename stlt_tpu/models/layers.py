@@ -158,36 +158,22 @@ class MultiHeadAttention(nn.Module):
                     q, k, v, bias, ring_mesh,
                     dropout_seed=seed, dropout_rate=self.dropout_rate,
                 )
-            elif self.use_pallas and max(T, S) >= _BLOCKWISE_MIN_SEQ:
-                # Long-context kernel path: the keep bits are HASHED INSIDE
-                # the kernels from a per-call seed — the O(T²) [B, N, T, S]
-                # mask buffer never exists (fwd AND bwd regenerate the same
-                # bits from the counter hash; ops/flash.py).
+            else:
+                # ONE hash-bit stream on every non-ring path: the Pallas
+                # kernels hash keep bits IN PLACE from a per-call seed (fwd
+                # and both backwards regenerate identical bits — stateless
+                # counter hash, ops/flash.py), and the XLA fallback
+                # reconstructs the same bits via hash_keep_mask. No
+                # [B, N, T, S] mask is ever sampled or shipped through HBM —
+                # at long context that buffer is O(T²); at short sequences
+                # dropping it removes the per-step mask sampling and the
+                # mask-operand DMA from every attention call (round-2 shipped
+                # a host-sampled mask operand here).
                 seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
                 out = dot_product_attention(
                     q, k, v, attn_bias,
-                    use_pallas=True,
-                    dropout_seed=seed,
-                    dropout_rate=self.dropout_rate,
-                    causal=self.causal,
-                    kv_lengths=attn_lengths,
-                )
-            else:
-                # Short sequences: the mask is small; sampling it HERE keeps
-                # the Pallas-fused and XLA paths on one stream, and the
-                # custom-vjp backward recomputes with the identical mask.
-                # Reading the bf16 mask costs 2 bytes/prob vs f32 probability
-                # materialization (4B write + 4B read) — the train step keeps
-                # probabilities out of HBM under use_pallas.
-                keep = jax.random.bernoulli(
-                    self.make_rng("dropout"),
-                    1.0 - self.dropout_rate,
-                    (B, N, T, S),
-                ).astype(v.dtype)
-                out = dot_product_attention(
-                    q, k, v, attn_bias,
                     use_pallas=self.use_pallas,
-                    dropout_mask=keep,
+                    dropout_seed=seed,
                     dropout_rate=self.dropout_rate,
                     causal=self.causal,
                     kv_lengths=attn_lengths,

@@ -84,10 +84,11 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Dispatch between the fused Pallas kernel and the XLA reference path.
 
-    ``dropout_seed`` (kernel path only) hashes the keep bits in-kernel —
+    ``dropout_seed`` hashes the keep bits in-kernel on the Pallas path —
     no [B, N, T, S] mask buffer anywhere; see flash.flash_attention. On the
-    XLA path a seed is materialized via ``hash_keep_mask`` (tests only —
-    production XLA callers pass a mask)."""
+    XLA path the identical bits are materialized via ``hash_keep_mask``, so
+    the two paths stay on one stream (model-level parity is asserted by
+    tests/test_flash_kernel.py::test_train_mode_pallas_matches_xla_exactly)."""
     if use_pallas:
         from stlt_tpu.ops.flash import flash_attention
 

@@ -23,9 +23,13 @@ the causal mask semantics of reference ``utils/model_utils.py:4-7``).
 
 Backward:
 
-- short sequences: ``custom_vjp`` recomputes through the XLA reference path
-  (cheap at these sizes and numerically identical — the [T, S] probability
-  tile is small);
+- short sequences: a fused recompute kernel (``_fused_bwd_kernel``) — one
+  program per (row-block, head) recomputes softmax in VMEM and emits
+  dq/dk/dv, so probabilities stay out of HBM in the backward too (the
+  round-2 design recomputed through XLA, materializing [B, N, T, S] twice
+  per layer; replacing it measured +5.6% on the real train loop, and
+  together with hashed-seed dropout the round-3 train path went
+  3373 → 4258 clips/s);
 - blockwise-dispatched sequences: a pair of KV-loop Pallas kernels (dq with
   the KV loop innermost; dk/dv with the Q loop innermost) recompute each
   probability block from the forward's saved logsumexp, so the [B, N, T, S]
@@ -48,8 +52,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from stlt_tpu.ops.attention import dot_product_attention_reference
 
 
 # --- counter-based in-kernel dropout bits -----------------------------------
@@ -161,7 +163,74 @@ def _fused_attn_kernel(
     o_ref[:, 0] = out.astype(o_ref.dtype)
 
 
-def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) -> int:
+def _fused_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, *rest, scale: float,
+    dropout_scale: float = 0.0, prng: Optional[tuple] = None,
+):
+    """Fused dq/dk/dv for one (row-block, head) — the whole [T, S] tile in
+    VMEM, softmax recomputed in place (no saved residuals). Replaces the
+    round-2 XLA recompute backward, which materialized the [B, N, T, S]
+    probability tensor in HBM twice per layer (recompute + vjp) and issued
+    the five attention matmuls as separate fusions. Same math as
+    ``_blockwise_dq_kernel``/``_blockwise_dkdv_kernel`` without the KV loop:
+    with keepc the scaled keep mask, dPv = (dO Vᵀ)∘keepc,
+    dz = p∘(dPv − rowsum(p∘dPv)), dq = dz K·scale, dk = dzᵀ Q·scale,
+    dv = (p∘keepc)ᵀ dO."""
+    if dropout_scale and prng is not None:
+        seed_ref, dq_ref, dk_ref, dv_ref = rest
+    elif dropout_scale:
+        mask_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        dq_ref, dk_ref, dv_ref = rest
+    q = q_ref[:, 0].astype(jnp.float32)    # [rb, T, D]
+    k = k_ref[:, 0].astype(jnp.float32)    # [rb, S, D]
+    v = v_ref[:, 0].astype(jnp.float32)
+    do = do_ref[:, 0].astype(jnp.float32)  # [rb, T, D]
+    z = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[:, 0].astype(jnp.float32)
+    z -= jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [rb, T, S]
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    pv = p
+    if dropout_scale:
+        if prng is not None:
+            num_heads, s_total, thresh = prng
+            rb, t, s = p.shape
+            keep = _keep_block(
+                seed_ref[0], pl.program_id(0) * rb, pl.program_id(1), 0, 0,
+                (rb, t, s), num_heads, s_total, thresh,
+            )
+        else:
+            keep = mask_ref[:, 0].astype(jnp.float32)
+        keepc = keep * dropout_scale
+        pv = p * keepc
+        dp = dp * keepc
+    # dv = pvᵀ dO: contract the query dimension (axis 1 of both).
+    dv_ref[:, 0] = jax.lax.dot_general(
+        pv, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dz = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq_ref[:, 0] = (jax.lax.dot_general(
+        dz, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+    dk_ref[:, 0] = (jax.lax.dot_general(
+        dz, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+
+
+def _pick_row_block(
+    rows: int, t: int, s: int, d: int, *, masked: bool = False,
+    bwd: bool = False,
+) -> int:
     """Batch rows per program, sized by a VMEM target.
 
     Eval (no dropout mask): 4 MB. Measured on the spatial shape (17408 rows
@@ -173,14 +242,24 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
     ops), which block-diagonal clip packing does NOT fix (measured 11.1 ms
     at every pack factor — see PERF_NOTES).
 
+    ``bwd`` sizes for the fused backward kernel instead: ~2× the operand
+    blocks (dO plus the three gradient outputs), ~2× the [t, s]
+    intermediates (z/p/dP/dz live simultaneously), and the 1 MB train
+    target unconditionally — measured on the real CLI loop at B=512:
+    1 MB → 4258 clips/s, 4 MB → 3729 (the same direction as the masked
+    forward; the train step wants small kernel working sets that overlap
+    with the surrounding fusions).
+
     The caller PADS the row axis to a multiple of the returned block (the
     padded rows are sliced off after the call), so awkward row counts no
     longer silently degrade to rb=1 (round-2 weakness: CLI batch 1000 →
     17000 rows walked the old divisor search down to 8). Within
     [target/2, target] the block minimizing pad waste is chosen — e.g.
     17000 rows → rb=100 with zero padding."""
-    bytes_per_row = (2 * t * d + 2 * s * d + 2 * t * s) * 4
-    target = (1 if masked else 4) * 1024 * 1024
+    row_blocks = 7 if bwd else 4       # q,k,v,dO,dq,dk,dv vs q,k,v,out
+    ts_interm = 4 if bwd else 2        # z/p/dP/dz vs bias+probs scratch
+    bytes_per_row = (row_blocks * (t + s) * d // 2 + ts_interm * t * s) * 4
+    target = (1 if (masked or bwd) else 4) * 1024 * 1024
     rb0 = max(1, min(target // max(bytes_per_row, 1), rows))
     # Hard safety cap from the TILED footprint: VMEM blocks pad the last
     # axis to 128 lanes and the one before to 8 sublanes, so small t/s/d
@@ -193,10 +272,9 @@ def _pick_row_block(rows: int, t: int, s: int, d: int, *, masked: bool = False) 
     t_sub, s_sub = -(t // -8) * 8, -(s // -8) * 8          # sublane axes
     s_lane, d_lane = -(s // -128) * 128, -(d // -128) * 128  # lane axes
     padded_per_row = (
-        t_sub * d_lane              # q block [rb, 1, t, d]
-        + 2 * s_sub * d_lane        # k, v blocks [rb, 1, s, d]
-        + 2 * t_sub * s_lane        # bias block + logits/probs stack scratch
-        + t_sub * d_lane            # out block
+        (4 if bwd else 2) * t_sub * d_lane   # q(+dO, dq) and out blocks
+        + (4 if bwd else 2) * s_sub * d_lane  # k, v (+dk, dv) blocks
+        + (1 + ts_interm) * t_sub * s_lane    # bias block + intermediates
         + (t_sub * s_lane if masked else 0)
     ) * 4
     rb_safe = max(1, (14 * 1024 * 1024) // padded_per_row)
@@ -994,6 +1072,85 @@ def _flash_forward(q, k, v, bias4, mask, dropout_rate, seed=None, causal=False,
     return out[:B].transpose(0, 2, 1, 3), None
 
 
+def _fused_backward(q, k, v, bias4, mask, seed, g, dropout_rate):
+    """Short-sequence backward: one Pallas program per (row-block, head)
+    computes dq/dk/dv with the [T, S] tile entirely in VMEM. q/g: [B, T, N,
+    D]; k, v: [B, S, N, D]; returns (dq, dk, dv) in the same layout."""
+    B, T, N, D = q.shape
+    S = k.shape[1]
+    scale = 1.0 / (D ** 0.5)
+    dropout_on = mask is not None or seed is not None
+    dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot_t = g.transpose(0, 2, 1, 3)
+    bias_arr = _broadcast_bias(bias4, B, T, S)
+    bias_n = bias_arr.shape[1]
+
+    rb = _pick_row_block(B, T, S, D, masked=mask is not None, bwd=True)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        # Padded rows: bias 0 (finite softmax), dO 0 — their dq/dk/dv are
+        # exact zeros and get sliced off anyway.
+        qt = _pad_to(qt, 0, rb)
+        kt = _pad_to(kt, 0, rb)
+        vt = _pad_to(vt, 0, rb)
+        dot_t = _pad_to(dot_t, 0, rb)
+        bias_arr = _pad_to(bias_arr, 0, rb)
+        if mask is not None:
+            mask = _pad_to(mask, 0, rb)
+    Bp = B + pad_rows
+    grid = (Bp // rb, N)
+
+    def qkv_spec(seq):
+        return pl.BlockSpec(
+            (rb, 1, seq, D), lambda i, n: (i, n, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def nts_spec(n_dim):
+        if n_dim == 1:
+            return pl.BlockSpec(
+                (rb, 1, T, S), lambda i, n: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (rb, 1, T, S), lambda i, n: (i, n, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [qkv_spec(T), qkv_spec(S), qkv_spec(S), nts_spec(bias_n), qkv_spec(T)]
+    operands = [qt, kt, vt, bias_arr, dot_t]
+    prng = None
+    if mask is not None:
+        in_specs.append(nts_spec(mask.shape[1]))
+        operands.append(mask)
+    elif seed is not None:
+        prng = (N, S, _dropout_thresh(dropout_rate))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(seed, (1,)).astype(jnp.uint32))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, scale=scale, dropout_scale=dropout_scale,
+            prng=prng,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(qkv_spec(T), qkv_spec(S), qkv_spec(S)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, N, T, D), q.dtype),
+            jax.ShapeDtypeStruct((Bp, N, S, D), k.dtype),
+            jax.ShapeDtypeStruct((Bp, N, S, D), v.dtype),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+    return (
+        dq[:B].transpose(0, 2, 1, 3),
+        dk[:B].transpose(0, 2, 1, 3),
+        dv[:B].transpose(0, 2, 1, 3),
+    )
+
+
 def _flash_fwd(dropout_rate, causal, q, k, v, bias4, mask, seed, kv_lengths):
     out, residual = _flash_forward(
         q, k, v, bias4, mask, dropout_rate, seed, causal, kv_lengths
@@ -1035,22 +1192,14 @@ def _flash_bwd(dropout_rate, causal, residuals, g):
             None,
             None,
         )
-    # Short sequences: recompute-based backward through the XLA reference
-    # (numerically the same attention, including the same dropout bits);
-    # cheap — the [T, S] probability tile is small at these shapes, and so
-    # is the reconstructed hash mask on the seed path.
-    if seed is not None:
-        B, T, N, D = q.shape
-        mask = hash_keep_mask(seed, B, N, T, k.shape[1], dropout_rate)
+    # Short sequences: fused recompute backward kernel — one program per
+    # (row-block, head) recomputes softmax in VMEM and emits dq/dk/dv; the
+    # [B, N, T, S] probability tensor (which the round-2 XLA recompute
+    # materialized in HBM twice per layer) never exists. Dropout bits come
+    # from the mask operand or are re-hashed in-kernel from the seed.
     if kv_lengths is not None and bias4 is None:
         bias4 = _lengths_dense_bias(kv_lengths, q.shape[1], k.shape[1], causal)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: dot_product_attention_reference(
-            q_, k_, v_, bias4, mask, dropout_rate
-        ),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _fused_backward(q, k, v, bias4, mask, seed, g, dropout_rate)
     return dq, dk, dv, None, None, None, None
 
 
