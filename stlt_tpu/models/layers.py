@@ -63,6 +63,31 @@ def torch_dense(features: int, fan_in: int, dtype=jnp.float32, name: Optional[st
     )
 
 
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``: declares the same
+    ``kernel``/``bias`` under the same scope name, returns the raw arrays.
+
+    MultiHeadAttention owns its projection math (instead of calling
+    ``nn.Dense``) so the eval path can hand the raw weights to the fused
+    projection+attention kernel (``ops/fused_encoder``) — the param tree,
+    names and initializers are byte-identical to the nn.Dense version, so
+    checkpoint conversion in both directions is unaffected
+    (tests/test_torch_export.py round-trips strict=True)."""
+
+    features: int
+    in_features: int
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """PyTorch ``nn.MultiheadAttention`` semantics (batch-first).
 
@@ -113,18 +138,36 @@ class MultiHeadAttention(nn.Module):
                 key, shape, dtype, minval=-in_proj_bound, maxval=in_proj_bound
             )
 
-        proj = lambda name: nn.Dense(
-            H,
-            dtype=self.dtype,
+        proj_params = lambda name: DenseParams(
+            features=H,
+            in_features=H,
             kernel_init=stacked_xavier,
             bias_init=initializers.zeros,
             name=name,
-        )
+        )()
+        wq, bq = proj_params("q_proj")
+        wk, bk = proj_params("k_proj")
+        wv, bv = proj_params("v_proj")
+        wo, bo = DenseParams(
+            features=H,
+            in_features=H,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=initializers.zeros,
+            name="out_proj",
+        )()
+
+        def apply_dense(x, w, b):
+            # nn.Dense(dtype=self.dtype) semantics: promote inputs and params
+            # to the compute dtype, contract the last axis, add bias.
+            x = x.astype(self.dtype)
+            y = jax.lax.dot_general(
+                x, w.astype(self.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            )
+            return y + b.astype(self.dtype)
+
         B, T = query.shape[0], query.shape[1]
         S = key.shape[1]
-        q = proj("q_proj")(query).reshape(B, T, N, D)
-        k = proj("k_proj")(key).reshape(B, S, N, D)
-        v = proj("v_proj")(value).reshape(B, S, N, D)
 
         from stlt_tpu.parallel.mesh import active_context_mesh
 
@@ -143,6 +186,37 @@ class MultiHeadAttention(nn.Module):
         )
         attn_bias = None if use_lengths else bias
         attn_lengths = kv_lengths if use_lengths else None
+
+        from stlt_tpu.ops.fused_encoder import (
+            FUSED_PROJ_MAX_SEQ,
+            fused_proj_attention,
+        )
+
+        if (
+            self.use_pallas
+            and deterministic
+            and ring_mesh is None
+            and query is key
+            and key is value
+            and T <= FUSED_PROJ_MAX_SEQ
+            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+        ):
+            # Eval fast path: projections + attention + out-projection in ONE
+            # Pallas kernel (ops/fused_encoder) — q/k/v and the attention
+            # output never round-trip HBM, and the head-split transposes
+            # disappear. Gated to self-attention with a head-invariant bias
+            # (every encoder here); the train path keeps the flash kernels
+            # with the hashed-dropout stream and their fused backwards.
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+            bqkv = jnp.concatenate([bq, bk, bv])
+            return fused_proj_attention(
+                query.astype(self.dtype), wqkv, bqkv, wo, bo, bias,
+                num_heads=N, compute_dtype=self.dtype,
+            )
+
+        q = apply_dense(query, wq, bq).reshape(B, T, N, D)
+        k = apply_dense(key, wk, bk).reshape(B, S, N, D)
+        v = apply_dense(value, wv, bv).reshape(B, S, N, D)
 
         apply_prob_dropout = self.dropout_rate > 0.0 and not deterministic
         if apply_prob_dropout:
@@ -191,13 +265,7 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(B, T, H)
         # torch MHA out_proj: NonDynamicallyQuantizableLinear == nn.Linear
         # (kaiming-uniform default init, zero bias at construction).
-        return nn.Dense(
-            H,
-            dtype=self.dtype,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=initializers.zeros,
-            name="out_proj",
-        )(out)
+        return apply_dense(out, wo, bo)
 
 
 def activation_fn(name: str, dtype=jnp.float32) -> Callable:

@@ -1,0 +1,225 @@
+"""Fused projection+attention kernel (ops/fused_encoder) vs the unfused chain.
+
+The kernel fuses q/k/v projection, per-head attention, and the output
+projection of ``MultiHeadAttention`` into one Pallas program (eval path).
+Parity targets: the op matches the composed unfused math, the module's
+pallas eval path matches the XLA path, the param tree is unchanged (so
+checkpoint conversion is untouched), and the train/cross-attention paths
+still work (they bypass the fused kernel).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stlt_tpu.models.layers import MultiHeadAttention
+from stlt_tpu.ops import masks
+from stlt_tpu.ops.attention import dot_product_attention_reference
+from stlt_tpu.ops.fused_encoder import fused_proj_attention
+
+
+def _unfused(x, wqkv, bqkv, wo, bo, bias, num_heads, dtype):
+    """The exact chain the module runs without the kernel."""
+    H = x.shape[-1]
+    D = H // num_heads
+    dense = lambda a, w, b: (
+        a.astype(dtype) @ w.astype(dtype) + b.astype(dtype)
+    )
+    B, T = x.shape[0], x.shape[1]
+    q = dense(x, wqkv[:, :H], bqkv[:H]).reshape(B, T, num_heads, D)
+    k = dense(x, wqkv[:, H:2 * H], bqkv[H:2 * H]).reshape(B, T, num_heads, D)
+    v = dense(x, wqkv[:, 2 * H:], bqkv[2 * H:]).reshape(B, T, num_heads, D)
+    out = dot_product_attention_reference(q, k, v, bias)
+    return dense(out.reshape(B, T, H), wo, bo)
+
+
+def _rand_op_inputs(rng, B, T, H, dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), dtype)
+    wqkv = jnp.asarray(rng.normal(0, 0.05, (H, 3 * H)), jnp.float32)
+    bqkv = jnp.asarray(rng.normal(0, 0.05, (3 * H,)), jnp.float32)
+    wo = jnp.asarray(rng.normal(0, 0.05, (H, H)), jnp.float32)
+    bo = jnp.asarray(rng.normal(0, 0.05, (H,)), jnp.float32)
+    return x, wqkv, bqkv, wo, bo
+
+
+@pytest.mark.parametrize(
+    "B,T,H,N",
+    [
+        (12, 8, 64, 4),    # spatial boxes shape
+        (5, 16, 64, 4),    # odd batch exercises row padding
+        (4, 17, 64, 4),    # temporal length: token-padded to 24 in-launcher
+        (3, 33, 32, 2),    # appearance length: token-padded to 40
+    ],
+)
+def test_op_matches_unfused_chain(B, T, H, N):
+    rng = np.random.default_rng(0)
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    pad = np.zeros((B, T), bool)
+    pad[:, -2:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+    got = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, bias, num_heads=N, compute_dtype=jnp.float32
+    )
+    want = _unfused(x, wqkv, bqkv, wo, bo, bias, N, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_op_no_bias_and_forced_row_block():
+    rng = np.random.default_rng(1)
+    B, T, H, N = 7, 8, 32, 4
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    got = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, None, num_heads=N, compute_dtype=jnp.float32,
+        row_block=3,  # forces pad_rows=2
+    )
+    want = _unfused(x, wqkv, bqkv, wo, bo, None, N, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_op_bf16():
+    rng = np.random.default_rng(2)
+    B, T, H, N = 6, 8, 64, 4
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H, jnp.bfloat16)
+    got = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, None, num_heads=N, compute_dtype=jnp.bfloat16
+    )
+    want = _unfused(
+        x.astype(jnp.float32), wqkv, bqkv, wo, bo, None, N, jnp.float32
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=0.1, rtol=0.1
+    )
+
+
+def _mha_outputs(rng_key, use_pallas, *, deterministic=True, cross=False,
+                 dropout_rate=0.0, T=8):
+    H, N, B = 32, 4, 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    kv = jnp.asarray(rng.normal(0, 1, (B, 6, H)), jnp.float32) if cross else x
+    pad = np.zeros((B, kv.shape[1]), bool)
+    pad[:, -2:] = True
+    bias = masks.key_padding_bias(jnp.asarray(pad))
+    mha = MultiHeadAttention(
+        hidden_size=H, num_heads=N, dropout_rate=dropout_rate,
+        use_pallas=use_pallas,
+    )
+    params = mha.init(
+        {"params": rng_key, "dropout": jax.random.PRNGKey(5)},
+        x, kv, kv, bias, deterministic=deterministic,
+    )["params"]
+    out = mha.apply(
+        {"params": params}, x, kv, kv, bias, deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": jax.random.PRNGKey(11)},
+    )
+    return params, np.asarray(out)
+
+
+def test_module_fused_eval_matches_xla():
+    key = jax.random.PRNGKey(0)
+    _, fused = _mha_outputs(key, True)
+    _, plain = _mha_outputs(key, False)
+    np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_module_eval_path_actually_uses_fused_kernel():
+    """Dispatch regression guard. When the fused-proj kernel is engaged
+    (short-sequence eval, incl. non-multiples of 8 via token padding) the
+    projections live INSIDE the pallas_call, so the jaxpr has no top-level
+    dot_general; past FUSED_PROJ_MAX_SEQ the flash path keeps the four
+    projection matmuls in XLA."""
+    H, N, B = 32, 4, 4
+    rng = np.random.default_rng(11)
+    for T, expect_fused in ((8, True), (17, True), (72, False)):
+        x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+        mha = MultiHeadAttention(hidden_size=H, num_heads=N, use_pallas=True)
+        params = mha.init(jax.random.PRNGKey(0), x, x, x, None)["params"]
+        jaxpr = jax.make_jaxpr(
+            lambda p, a: mha.apply({"params": p}, a, a, a, None)
+        )(params, x)
+
+        def top_level_prims(jxp):
+            for eqn in jxp.eqns:
+                if eqn.primitive.name in ("pjit", "custom_vjp_call",
+                                          "custom_vjp_call_jaxpr"):
+                    inner = eqn.params.get("jaxpr") or eqn.params.get(
+                        "call_jaxpr"
+                    )
+                    if inner is not None:
+                        yield from top_level_prims(
+                            getattr(inner, "jaxpr", inner)
+                        )
+                        continue
+                yield eqn.primitive.name
+
+        prims = list(top_level_prims(jaxpr.jaxpr))
+        assert "pallas_call" in prims, (T, prims)
+        n_dots = prims.count("dot_general")
+        assert (n_dots == 0) == expect_fused, (T, n_dots)
+
+
+def test_module_non_multiple_of_8_matches():
+    """T=17 rides the fused kernel through the token-padding path (17 -> 24
+    with -1e9 key bias) and must still match the XLA chain exactly."""
+    key = jax.random.PRNGKey(9)
+    _, fused = _mha_outputs(key, True, T=17)
+    _, plain = _mha_outputs(key, False, T=17)
+    np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_module_cross_attention_bypasses_and_matches():
+    key = jax.random.PRNGKey(1)
+    _, fused = _mha_outputs(key, True, cross=True)
+    _, plain = _mha_outputs(key, False, cross=True)
+    np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_module_train_path_unchanged():
+    """deterministic=False keeps the flash-kernel path (the fused-proj kernel
+    has no backward) — outputs must still match the XLA fallback's stream."""
+    key = jax.random.PRNGKey(2)
+    _, fused = _mha_outputs(key, True, deterministic=False, dropout_rate=0.3)
+    _, plain = _mha_outputs(key, False, deterministic=False, dropout_rate=0.3)
+    np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_param_tree_unchanged():
+    """The DenseParams refactor must keep the exact param paths the
+    torch<->flax converter maps (q/k/v/out projections, kernel+bias)."""
+    key = jax.random.PRNGKey(3)
+    params, _ = _mha_outputs(key, True)
+    assert sorted(params.keys()) == ["k_proj", "out_proj", "q_proj", "v_proj"]
+    for name in params:
+        assert sorted(params[name].keys()) == ["bias", "kernel"]
+        assert params[name]["kernel"].shape == (32, 32)
+        assert params[name]["bias"].shape == (32,)
+
+
+def test_module_grad_through_train_path():
+    """The DenseParams refactor must not break AD: gradients flow through
+    the train path (deterministic=False — the fused-proj kernel, which has
+    no backward, is gated out there) into every projection param."""
+    key = jax.random.PRNGKey(4)
+    H, N, B, T = 32, 4, 2, 5
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    mha = MultiHeadAttention(hidden_size=H, num_heads=N, dropout_rate=0.1,
+                             use_pallas=True)
+    variables = mha.init(
+        {"params": key, "dropout": jax.random.PRNGKey(6)},
+        x, x, x, None, deterministic=False,
+    )
+
+    def loss(params):
+        out = mha.apply(
+            {"params": params}, x, x, x, None, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
