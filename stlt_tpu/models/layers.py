@@ -88,6 +88,46 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (same scope name, same
+    ``scale``/``bias`` params and initializers) — lets the encoder layer hand
+    raw norm weights to the fused layer-tail kernel while ``apply_layer_norm``
+    reproduces flax's math bit-for-bit on the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", initializers.ones, (self.features,))
+        bias = self.param("bias", initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def apply_layer_norm(x, scale, bias, eps, dtype):
+    """flax.linen.LayerNorm semantics, step for step (promote to f32,
+    fast variance clipped at 0, scale folded into rsqrt, output cast)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1)
+    var = jnp.maximum(0.0, jnp.mean(x32 * x32, axis=-1) - mu * mu)
+    y = x32 - jnp.expand_dims(mu, -1)
+    mul = jax.lax.rsqrt(jnp.expand_dims(var, -1) + eps)
+    mul = mul * scale.astype(jnp.float32)
+    y = y * mul
+    y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def apply_dense_params(x, w, b, dtype):
+    """nn.Dense(dtype=dtype) semantics on raw params: promote everything to
+    the compute dtype, contract the last axis, add bias."""
+    x = x.astype(dtype)
+    y = jax.lax.dot_general(
+        x, w.astype(dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+    )
+    return y + b.astype(dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """PyTorch ``nn.MultiheadAttention`` semantics (batch-first).
 
@@ -157,14 +197,7 @@ class MultiHeadAttention(nn.Module):
         )()
 
         def apply_dense(x, w, b):
-            # nn.Dense(dtype=self.dtype) semantics: promote inputs and params
-            # to the compute dtype, contract the last axis, add bias.
-            x = x.astype(self.dtype)
-            y = jax.lax.dot_general(
-                x, w.astype(self.dtype),
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            )
-            return y + b.astype(self.dtype)
+            return apply_dense_params(x, w, b, self.dtype)
 
         B, T = query.shape[0], query.shape[1]
         S = key.shape[1]
@@ -313,20 +346,54 @@ class TransformerEncoderLayer(nn.Module):
             causal=self.causal,
             name="self_attn",
         )(x, x, x, bias, deterministic=deterministic, kv_lengths=kv_lengths)
+
+        H, FF = self.hidden_size, self.ff_size
+        n1_scale, n1_bias = LayerNormParams(H, name="norm1")()
+        w1, b1 = DenseParams(
+            features=FF, in_features=H,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(H),
+            name="linear1",
+        )()
+        w2, b2 = DenseParams(
+            features=H, in_features=FF,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(FF),
+            name="linear2",
+        )()
+        n2_scale, n2_bias = LayerNormParams(H, name="norm2")()
+
+        if self.use_pallas and deterministic:
+            # Eval fast path: residual+norm1, the FFN (whose 4H-wide hidden
+            # is the model's largest activation) and residual+norm2 in ONE
+            # Pallas kernel (ops/fused_encoder.fused_layer_tail) — none of
+            # u/h1/h2 visit HBM. Deterministic only: dropouts are identity
+            # and the kernel has no backward; train keeps the XLA chain.
+            from stlt_tpu.ops.fused_encoder import fused_layer_tail
+
+            return fused_layer_tail(
+                x, attn_out, n1_scale, n1_bias, w1, b1, w2, b2,
+                n2_scale, n2_bias,
+                eps=self.layer_norm_eps,
+                compute_dtype=self.dtype,
+                activation=self.activation,
+                gelu_approximate=jnp.dtype(self.dtype) == jnp.bfloat16,
+            )
+
         attn_out = nn.Dropout(rate=self.dropout_rate)(
             attn_out, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(
-            x + attn_out
+        x = apply_layer_norm(
+            x + attn_out, n1_scale, n1_bias, self.layer_norm_eps, self.dtype
         )
-        h = torch_dense(self.ff_size, self.hidden_size, self.dtype, "linear1")(x)
+        h = apply_dense_params(x, w1, b1, self.dtype)
         h = activation_fn(self.activation, self.dtype)(h)
         h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
-        h = torch_dense(self.hidden_size, self.ff_size, self.dtype, "linear2")(h)
+        h = apply_dense_params(h, w2, b2, self.dtype)
         h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
-        return nn.LayerNorm(
-            epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2"
-        )(x + h)
+        return apply_layer_norm(
+            x + h, n2_scale, n2_bias, self.layer_norm_eps, self.dtype
+        )
 
 
 class TransformerEncoder(nn.Module):

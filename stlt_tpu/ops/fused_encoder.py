@@ -230,3 +230,220 @@ def fused_proj_attention(
         bias_arr,
     )
     return out[:B, :T0]
+
+
+# --- fused layer tail: residual + LN1 -> FFN -> residual + LN2 ---------------
+#
+# The other half of torch.nn.TransformerEncoderLayer (post-LN, reference
+# models.py passim):
+#
+#     u = norm1(x + attn_out)
+#     o = norm2(u + linear2(act(linear1(u))))
+#
+# XLA materializes u ([rows, T, H]), the 4H-wide linear1 output (the largest
+# activation in the model - 855 MB bf16 at the spatial bench shape), and the
+# linear2 output, each with an HBM round trip. This kernel keeps all of them
+# in VMEM: the grid is (row-block, ff-chunk) with the chunk axis innermost;
+# chunk 0 computes u once into a scratch, every chunk contributes
+# act(u @ W1[:, c]) @ W2[c, :] into an f32 accumulator scratch, and the last
+# chunk adds b2, applies the residual and LN2, and writes the only HBM
+# output. W1/W2 ride in VMEM per chunk; LayerNorm math follows flax.linen
+# exactly (f32 stats, fast variance clipped at 0) for checkpoint parity.
+
+
+def _fused_tail_kernel(
+    x_ref, y_ref, n1s_ref, n1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    n2s_ref, n2b_ref, o_ref, u_scr, acc_scr,
+    *, eps: float, compute_dtype, gelu_approximate: bool, activation: str,
+    ff_chunks: int,
+):
+    rb, t, h = x_ref.shape
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _compute_u():
+        # Residual add in the compute dtype (bit-matching the unfused bf16
+        # add), then flax-LayerNorm in f32. Reshape discipline: rank changes
+        # happen on f32 vectors only (sublane tile 8; launcher pads t to 8).
+        r = x_ref[...].astype(compute_dtype) + y_ref[...].astype(compute_dtype)
+        r32 = r.astype(jnp.float32).reshape(rb * t, h)
+        mu = jnp.mean(r32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            0.0, jnp.mean(r32 * r32, axis=-1, keepdims=True) - mu * mu
+        )
+        mul = jax.lax.rsqrt(var + eps) * n1s_ref[0].astype(jnp.float32)
+        u32 = (r32 - mu) * mul + n1b_ref[0].astype(jnp.float32)
+        u_scr[...] = u32.astype(compute_dtype)
+
+    u = u_scr[...]
+    h1 = jax.lax.dot_general(
+        u, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    h1 = h1.astype(compute_dtype)
+    if activation == "gelu":
+        h1 = jax.nn.gelu(h1, approximate=gelu_approximate)
+    elif activation == "relu":
+        h1 = jax.nn.relu(h1)
+    else:
+        raise ValueError(activation)
+    partial = jax.lax.dot_general(
+        h1, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == 0)
+    def _init_acc():
+        acc_scr[...] = partial
+
+    @pl.when(c > 0)
+    def _add_acc():
+        acc_scr[...] = acc_scr[...] + partial
+
+    @pl.when(c == ff_chunks - 1)
+    def _finish():
+        h2 = (acc_scr[...] + b2_ref[0].astype(jnp.float32)).astype(compute_dtype)
+        r2 = u_scr[...] + h2  # compute-dtype residual, as unfused
+        r232 = r2.astype(jnp.float32)
+        mu2 = jnp.mean(r232, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            0.0, jnp.mean(r232 * r232, axis=-1, keepdims=True) - mu2 * mu2
+        )
+        mul2 = jax.lax.rsqrt(var2 + eps) * n2s_ref[0].astype(jnp.float32)
+        y32 = (r232 - mu2) * mul2 + n2b_ref[0].astype(jnp.float32)
+        o_ref[...] = y32.reshape(rb, t, h).astype(o_ref.dtype)
+
+
+def _pick_tail_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
+    """(row_block, ff_chunk) under the VMEM budget. Per program: x/y/o
+    blocks + u scratch (compute dtype) + f32 accumulator + the h1 chunk
+    (f32 + compute copy) + the W1/W2 chunk slabs (grid-resident per chunk)."""
+    best = None
+    for ffb in (ff, ff // 2, ff // 4, ff // 8):
+        if not ffb or ff % ffb:
+            continue
+        weights = 2 * h * ffb * itemsize + (ffb + 3 * h) * itemsize
+        per_row = (
+            3 * t * h * itemsize      # x, y, o blocks
+            + t * h * itemsize        # u scratch
+            + t * h * 4               # f32 accumulator
+            + t * ffb * (4 + itemsize)  # h1 chunk f32 + compute copy
+            + 2 * t * h * 4           # LN temporaries
+        )
+        budget = 12 * 1024 * 1024 - weights
+        if budget <= per_row:
+            continue
+        rb = max(1, min(budget // per_row, rows))
+        if rb >= rows:
+            rb = rows
+        else:
+            cand_best, cand_pad = rb, (-rows) % rb
+            for cand in range(rb, max(rb // 2, 1) - 1, -1):
+                pad = (-rows) % cand
+                if pad < cand_pad:
+                    cand_best, cand_pad = cand, pad
+                    if pad == 0:
+                        break
+            rb = cand_best
+        # Prefer fewer chunks (fewer scratch round trips) as long as the
+        # row block stays usefully large.
+        if best is None or rb * ffb > best[0] * best[1]:
+            best = (rb, ffb)
+    assert best is not None
+    return best
+
+
+def fused_layer_tail(
+    x: jnp.ndarray,
+    attn_out: jnp.ndarray,
+    n1_scale: jnp.ndarray,
+    n1_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    n2_scale: jnp.ndarray,
+    n2_bias: jnp.ndarray,
+    *,
+    eps: float,
+    compute_dtype,
+    activation: str = "gelu",
+    gelu_approximate: bool = False,
+) -> jnp.ndarray:
+    """norm2(u + FFN(u)) for u = norm1(x + attn_out), in one kernel.
+    x/attn_out: [B, T, H]; w1: [H, FF]; w2: [FF, H]. Returns [B, T, H] in
+    x.dtype. Eval path only (no dropout, no backward)."""
+    B, T0, H = x.shape
+    FF = w1.shape[1]
+    cdtype = jnp.dtype(compute_dtype)
+
+    pad_t = (-T0) % 8
+    T = T0 + pad_t
+    if pad_t:
+        # The tail has no cross-token op: padded tokens produce junk rows
+        # that are sliced off (LN/FFN are per-token).
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+        attn_out = jnp.pad(attn_out, ((0, 0), (0, pad_t), (0, 0)))
+
+    rb, ffb = _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        x = _pad_to(x, 0, rb)
+        attn_out = _pad_to(attn_out, 0, rb)
+    Bp = B + pad_rows
+    grid = (Bp // rb, FF // ffb)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (rb, T, H), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def vec_spec(width, chunked=False):
+        if chunked:
+            return pl.BlockSpec(
+                (1, width), lambda i, c: (0, c), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (1, width), lambda i, c: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_tail_kernel,
+            eps=float(eps), compute_dtype=cdtype,
+            gelu_approximate=bool(gelu_approximate), activation=activation,
+            ff_chunks=FF // ffb,
+        ),
+        grid=grid,
+        in_specs=[
+            row_spec(),                                   # x
+            row_spec(),                                   # attn_out
+            vec_spec(H), vec_spec(H),                     # norm1 scale/bias
+            pl.BlockSpec((H, ffb), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+            vec_spec(ffb, chunked=True),                  # b1
+            pl.BlockSpec((ffb, H), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+            vec_spec(H),                                  # b2
+            vec_spec(H), vec_spec(H),                     # norm2 scale/bias
+        ],
+        out_specs=row_spec(),
+        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rb * T, H), cdtype),
+            pltpu.VMEM((rb * T, H), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x,
+        attn_out,
+        jnp.reshape(n1_scale, (1, H)).astype(jnp.float32),
+        jnp.reshape(n1_bias, (1, H)).astype(jnp.float32),
+        w1.astype(cdtype),
+        jnp.reshape(b1, (1, FF)).astype(jnp.float32),
+        w2.astype(cdtype),
+        jnp.reshape(b2, (1, H)).astype(jnp.float32),
+        jnp.reshape(n2_scale, (1, H)).astype(jnp.float32),
+        jnp.reshape(n2_bias, (1, H)).astype(jnp.float32),
+    )
+    return out[:B, :T0]

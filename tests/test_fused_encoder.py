@@ -223,3 +223,151 @@ def test_module_grad_through_train_path():
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+# --- fused layer tail (residual+norm1 -> FFN -> residual+norm2) --------------
+
+
+def _unfused_tail(x, y, n1s, n1b, w1, b1, w2, b2, n2s, n2b, eps, dtype,
+                  activation):
+    from stlt_tpu.models.layers import (
+        activation_fn,
+        apply_dense_params,
+        apply_layer_norm,
+    )
+
+    u = apply_layer_norm(
+        x.astype(dtype) + y.astype(dtype), n1s, n1b, eps, dtype
+    )
+    h = apply_dense_params(u, w1, b1, dtype)
+    h = activation_fn(activation, dtype)(h)
+    h = apply_dense_params(h, w2, b2, dtype)
+    return apply_layer_norm(u + h, n2s, n2b, eps, dtype)
+
+
+def _rand_tail_inputs(rng, B, T, H, FF, dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), dtype)
+    y = jnp.asarray(rng.normal(0, 1, (B, T, H)), dtype)
+    n1s = jnp.asarray(rng.normal(1, 0.1, (H,)), jnp.float32)
+    n1b = jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (H, FF)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.05, (FF,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (FF, H)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.05, (H,)), jnp.float32)
+    n2s = jnp.asarray(rng.normal(1, 0.1, (H,)), jnp.float32)
+    n2b = jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)
+    return x, y, n1s, n1b, w1, b1, w2, b2, n2s, n2b
+
+
+@pytest.mark.parametrize(
+    "B,T,H,FF,activation",
+    [
+        (10, 8, 64, 256, "gelu"),    # spatial-like; erf GELU (f32 path)
+        (5, 17, 64, 256, "gelu"),    # temporal length -> token-padded to 24
+        (4, 33, 32, 128, "relu"),    # appearance length + ReLU
+    ],
+)
+def test_tail_op_matches_unfused_chain(B, T, H, FF, activation):
+    from stlt_tpu.ops.fused_encoder import fused_layer_tail
+
+    rng = np.random.default_rng(21)
+    args = _rand_tail_inputs(rng, B, T, H, FF)
+    got = fused_layer_tail(
+        *args, eps=1e-12, compute_dtype=jnp.float32, activation=activation,
+        gelu_approximate=False,
+    )
+    want = _unfused_tail(*args, 1e-12, jnp.float32, activation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_tail_op_bf16():
+    from stlt_tpu.ops.fused_encoder import fused_layer_tail
+
+    rng = np.random.default_rng(22)
+    args = _rand_tail_inputs(rng, 6, 8, 64, 256, jnp.float32)
+    args = tuple(
+        a.astype(jnp.bfloat16) if i < 2 else a for i, a in enumerate(args)
+    )
+    got = fused_layer_tail(
+        *args, eps=1e-12, compute_dtype=jnp.bfloat16, activation="gelu",
+        gelu_approximate=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    want = _unfused_tail(*args, 1e-12, jnp.float32, "gelu")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.15, rtol=0.1,
+    )
+
+
+def test_encoder_layer_eval_is_fully_fused():
+    """Eval with use_pallas: the whole layer is two pallas_calls (attention
+    sublayer + layer tail) with no top-level dot_general; train falls back
+    to the differentiable chain."""
+    from stlt_tpu.models.layers import TransformerEncoderLayer
+
+    H, B, T = 32, 4, 8
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    layer = TransformerEncoderLayer(
+        hidden_size=H, num_heads=4, ff_size=4 * H, dropout_rate=0.1,
+        activation="gelu", use_pallas=True,
+    )
+    params = layer.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, None, True,
+    )["params"]
+
+    def prims(deterministic):
+        jaxpr = jax.make_jaxpr(
+            lambda p, a: layer.apply(
+                {"params": p}, a, None, deterministic,
+                rngs=None if deterministic else {"dropout": jax.random.PRNGKey(2)},
+            )
+        )(params, x)
+
+        def walk(jxp):
+            for eqn in jxp.eqns:
+                if eqn.primitive.name in ("pjit", "custom_vjp_call",
+                                          "custom_vjp_call_jaxpr"):
+                    inner = eqn.params.get("jaxpr") or eqn.params.get(
+                        "call_jaxpr"
+                    )
+                    if inner is not None:
+                        yield from walk(getattr(inner, "jaxpr", inner))
+                        continue
+                yield eqn.primitive.name
+
+        return list(walk(jaxpr.jaxpr))
+
+    eval_prims = prims(True)
+    assert eval_prims.count("pallas_call") == 2, eval_prims
+    assert eval_prims.count("dot_general") == 0, eval_prims
+    train_prims = prims(False)
+    assert train_prims.count("dot_general") > 0
+
+
+def test_encoder_layer_eval_matches_xla_chain():
+    from stlt_tpu.models.layers import TransformerEncoderLayer
+
+    H, B = 48, 3
+    rng = np.random.default_rng(24)
+    for T in (8, 17):
+        x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+        pad = np.zeros((B, T), bool)
+        pad[:, -2:] = True
+        bias = masks.key_padding_bias(jnp.asarray(pad))
+        outs = {}
+        for use_pallas in (False, True):
+            layer = TransformerEncoderLayer(
+                hidden_size=H, num_heads=4, ff_size=4 * H,
+                activation="gelu", layer_norm_eps=1e-12,
+                use_pallas=use_pallas,
+            )
+            params = layer.init(jax.random.PRNGKey(5), x, bias, True)["params"]
+            outs[use_pallas] = np.asarray(
+                layer.apply({"params": params}, x, bias, True)
+            )
+        np.testing.assert_allclose(
+            outs[True], outs[False], atol=2e-5, rtol=1e-5
+        )
