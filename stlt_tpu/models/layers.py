@@ -247,6 +247,32 @@ class MultiHeadAttention(nn.Module):
                 num_heads=N, compute_dtype=self.dtype,
             )
 
+        if (
+            self.use_pallas
+            and not deterministic
+            and ring_mesh is None
+            and query is key
+            and key is value
+            and T <= FUSED_PROJ_MAX_SEQ
+            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+        ):
+            # TRAIN fast path: the same fused projection+attention kernel
+            # with in-kernel hashed dropout, plus a custom backward that
+            # recomputes qkv/probs in VMEM and emits dqkv + accumulated
+            # dWo/dbo (ops/fused_encoder). One make_rng call — the same
+            # stream position and hash bits as the XLA fallback below.
+            from stlt_tpu.ops.fused_encoder import fused_proj_attention_train
+
+            seed = None
+            if self.dropout_rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+            bqkv = jnp.concatenate([bq, bk, bv])
+            return fused_proj_attention_train(
+                N, float(self.dropout_rate), query.astype(self.dtype),
+                wqkv, bqkv, wo, bo, bias, seed,
+            )
+
         q = apply_dense(query, wq, bq).reshape(B, T, N, D)
         k = apply_dense(key, wk, bk).reshape(B, S, N, D)
         v = apply_dense(value, wv, bv).reshape(B, S, N, D)

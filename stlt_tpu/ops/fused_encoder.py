@@ -19,11 +19,17 @@ kernel never emits. The projection weights ride in VMEM across the whole
 grid (constant ``index_map`` — Mosaic fetches them once), so weight DMA is
 ~7 MB total rather than per-program.
 
-Scope: **eval path only** (``deterministic=True`` — no attention-probability
-dropout, no backward). The train step keeps the round-3 fused kernels with
-the in-kernel hashed-dropout stream (``ops/flash.py``). Dispatch lives in
-``models/layers.MultiHeadAttention``; sequences longer than
-``FUSED_PROJ_MAX_SEQ`` keep the blockwise path.
+Scope: short-sequence self-attention (dispatch in
+``models/layers.MultiHeadAttention``; longer sequences keep the blockwise
+kernels of ``ops/flash.py``). Three entry points:
+
+- ``fused_proj_attention`` — eval forward (no dropout, no backward);
+- ``fused_proj_attention_train`` — the same fused forward with IN-KERNEL
+  hashed dropout plus a ``custom_vjp`` backward: one program per row block
+  recomputes qkv/probs/keep in VMEM and emits dqkv + accumulated dWo/dbo,
+  and XLA finishes with the three clean GEMMs (dx, dWqkv, dbqkv);
+- ``fused_layer_tail`` — eval-only residual+norm1 -> FFN -> residual+norm2
+  (the train tail stays on the differentiable XLA chain).
 
 Numerics match the unfused module chain step for step: the projection
 accumulates f32 on the MXU and rounds to the compute dtype (exactly what
@@ -42,7 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stlt_tpu.ops.flash import _broadcast_bias, _pad_to
+from stlt_tpu.ops.flash import (
+    _broadcast_bias,
+    _dropout_thresh,
+    _keep_block,
+    _pad_to,
+)
 
 # Whole-[T, S] tiles + all heads live in one program: cap the token count.
 # Covers the spatial (8), temporal (17/34) and appearance (33) encoders;
@@ -51,13 +62,24 @@ FUSED_PROJ_MAX_SEQ = 64
 
 
 def _fused_proj_attn_kernel(
-    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref, o_ref,
-    *, scale: float, num_heads: int, compute_dtype,
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref, *rest,
+    scale: float, num_heads: int, compute_dtype,
+    dropout_scale: float = 0.0, prng: Optional[tuple] = None,
 ):
     """One program: rb batch rows, all heads. x_ref: [rb, T, H];
-    wqkv_ref: [H, 3H]; bias_ref: [rb, 1, T, S]; o_ref: [rb, T, H]."""
+    wqkv_ref: [H, 3H]; bias_ref: [rb, 1, T, S]; o_ref: [rb, T, H].
+    With ``prng = (s_total, thresh)`` a seed operand precedes the output and
+    keep bits are hashed in place per (b, head, t, s) — the same lowbias32
+    stream as ops/flash.py, so the XLA fallback's hash_keep_mask
+    reconstructs identical bits (s_total is the UNPADDED key length; padded
+    columns collide into rows whose probability is already 0)."""
+    if prng is not None:
+        seed_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     rb, t, h = x_ref.shape
     n, d = num_heads, h // num_heads
+    i_row = pl.program_id(0)
     # Mosaic reshape legality: every rank-changing reshape here runs on an
     # f32 vector (sublane tile 8) with all merged/split sublane dims
     # multiples of 8 — the launcher enforces t % 8 == 0. bf16 reshapes need
@@ -87,6 +109,13 @@ def _fused_proj_attn_kernel(
         logits -= jnp.max(logits, axis=-1, keepdims=True)
         probs = jnp.exp(logits)
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        if prng is not None:
+            s_total, thresh = prng
+            keep = _keep_block(
+                seed_ref[0], i_row * rb, i, 0, 0, (rb, t, t),
+                n, s_total, thresh,
+            )
+            probs = probs * (keep * dropout_scale)
         outs.append(
             jax.lax.dot_general(
                 probs, v_h,
@@ -447,3 +476,350 @@ def fused_layer_tail(
         jnp.reshape(n2_bias, (1, H)).astype(jnp.float32),
     )
     return out[:B, :T0]
+
+
+# --- train path: fused forward + fused backward ------------------------------
+#
+# The train step keeps the projections fused too. Forward: the same kernel
+# as eval with in-kernel hashed dropout (one uint32 seed, zero mask traffic).
+# Backward: one Pallas program per row block recomputes qkv/probs/keep in
+# VMEM (nothing saved but the layer inputs), applies the softmax+dropout
+# backward per head, and emits
+#
+#   dqkv  [rows, T, 3H]  (compute dtype)  - the only O(rows) buffer
+#   dWo   [H, H] f32, dbo [1, H] f32      - accumulated across the grid
+#                                           (@pl.when(i == 0) init, += after)
+#
+# The remaining three grads are single clean GEMMs XLA runs at peak from
+# dqkv: dx = dqkv Wqkv^T, dWqkv = x^T dqkv, dbqkv = colsum(dqkv). This
+# splits the work so the [H, 3H] f32 dW accumulator (7 MB at H=768) never
+# has to share VMEM with the per-head tiles of a bigger row block.
+
+
+def _fused_proj_bwd_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bias_ref, g_ref, *rest,
+    scale: float, num_heads: int, compute_dtype,
+    dropout_scale: float = 0.0, prng: Optional[tuple] = None,
+):
+    if prng is not None:
+        seed_ref, dqkv_ref, dwo_ref, dbo_ref = rest
+    else:
+        dqkv_ref, dwo_ref, dbo_ref = rest
+    rb, t, h = x_ref.shape
+    n, d = num_heads, h // num_heads
+    i_row = pl.program_id(0)
+
+    x = x_ref[...].astype(jnp.float32).reshape(rb * t, h)
+    qkv = jax.lax.dot_general(
+        x.astype(compute_dtype), wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv.astype(compute_dtype).astype(jnp.float32)
+    bias = bias_ref[:, 0].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32).reshape(rb * t, h)
+    # d(attn) through the out-projection: g @ Wo^T (f32 accumulation).
+    dattn = jax.lax.dot_general(
+        g.astype(compute_dtype), wo_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outs = []
+    dqs, dks, dvs = [], [], []
+    for i in range(n):
+        q_h = qkv[:, i * d:(i + 1) * d].reshape(rb, t, d)
+        k_h = qkv[:, h + i * d:h + (i + 1) * d].reshape(rb, t, d)
+        v_h = qkv[:, 2 * h + i * d:2 * h + (i + 1) * d].reshape(rb, t, d)
+        logits = jax.lax.dot_general(
+            q_h, k_h,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        do_h = dattn[:, i * d:(i + 1) * d].reshape(rb, t, d)
+        dp = jax.lax.dot_general(
+            do_h, v_h,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        pv = p
+        if prng is not None:
+            s_total, thresh = prng
+            keep = _keep_block(
+                seed_ref[0], i_row * rb, i, 0, 0, (rb, t, t),
+                n, s_total, thresh,
+            )
+            keepc = keep * dropout_scale
+            pv = p * keepc
+            dp = dp * keepc
+        outs.append(
+            jax.lax.dot_general(
+                pv, v_h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dz = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dqs.append(
+            (jax.lax.dot_general(
+                dz, k_h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).reshape(rb * t, d)
+        )
+        dks.append(
+            (jax.lax.dot_general(
+                dz, q_h,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale).reshape(rb * t, d)
+        )
+        dvs.append(
+            jax.lax.dot_general(
+                pv, do_h,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(rb * t, d)
+        )
+    attn = jnp.concatenate(outs, axis=-1).reshape(rb * t, h)
+    dwo_partial = jax.lax.dot_general(
+        attn.astype(compute_dtype), g.astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo_partial = jnp.sum(g, axis=0, keepdims=True)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [rb*t, 3h] f32
+    dqkv_ref[...] = dqkv.reshape(rb, t, 3 * h).astype(dqkv_ref.dtype)
+
+    @pl.when(i_row == 0)
+    def _init():
+        dwo_ref[...] = dwo_partial
+        dbo_ref[...] = dbo_partial
+
+    @pl.when(i_row > 0)
+    def _accum():
+        dwo_ref[...] = dwo_ref[...] + dwo_partial
+        dbo_ref[...] = dbo_ref[...] + dbo_partial
+
+
+def _train_operands(x, wqkv, bqkv, wo, bo, bias, seed, num_heads, cdtype):
+    """Shared fwd/bwd padding + spec assembly. Returns everything both
+    launchers need, with T padded to the f32 sublane tile."""
+    B, T0, H = x.shape
+    bias4 = None
+    if bias is not None:
+        bias4 = jnp.asarray(bias, jnp.float32)
+        while bias4.ndim < 4:
+            bias4 = bias4[None]
+    bias_arr = _broadcast_bias(bias4, B, T0, T0)
+    pad_t = (-T0) % 8
+    T = T0 + pad_t
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+        bias_arr = jnp.pad(bias_arr, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        bias_arr = jnp.pad(
+            bias_arr, ((0, 0), (0, 0), (0, 0), (0, pad_t)),
+            constant_values=-1e9,
+        )
+    return x, bias_arr, T0, T, pad_t
+
+
+def _pick_bwd_row_block(rows: int, t: int, h: int, itemsize: int) -> int:
+    """The [H, H] f32 dWo accumulator and both weight slabs are grid-
+    resident; the per-row backward working set is ~2.5x the forward's."""
+    t_sub = -(t // -8) * 8
+    s_lane = -(t // -128) * 128
+    per_row = (
+        3 * t_sub * h * itemsize            # x, g, dqkv-out blocks
+        + t_sub * 3 * h * (4 + itemsize)    # qkv f32 + compute copy
+        + t_sub * 3 * h * 4                 # dqkv f32 assembly
+        + 2 * t_sub * h * 4                 # dattn + attn f32
+        + 5 * t_sub * s_lane * 4            # p/dp/dz/keep/pv tiles
+    )
+    fixed = (3 * h + h) * h * itemsize + h * h * 4 + 8 * h * 4
+    budget = 12 * 1024 * 1024 - fixed
+    rb = max(1, min(budget // max(per_row, 1), rows))
+    if rb >= rows:
+        return rows
+    best, best_pad = rb, (-rows) % rb
+    for cand in range(rb, max(rb // 2, 1) - 1, -1):
+        pad = (-rows) % cand
+        if pad < best_pad:
+            best, best_pad = cand, pad
+            if pad == 0:
+                break
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_proj_attention_train(num_heads, dropout_rate, x, wqkv, bqkv,
+                               wo, bo, bias, seed):
+    """Differentiable fused projection+attention for the TRAIN path.
+    x: [B, T, H] in the compute dtype; seed: uint32 scalar or None (no
+    dropout). Same hashed keep-bit stream as ops/flash.py, so the XLA
+    fallback path stays bit-compatible."""
+    y, _ = _fused_proj_train_fwd(
+        num_heads, dropout_rate, x, wqkv, bqkv, wo, bo, bias, seed
+    )
+    return y
+
+
+def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
+                          bias, seed):
+    B, T0, H = x.shape
+    cdtype = x.dtype
+    xp, bias_arr, _, T, _ = _train_operands(
+        x, wqkv, bqkv, wo, bo, bias, seed, num_heads, cdtype
+    )
+    D = H // num_heads
+    scale = 1.0 / (D ** 0.5)
+    dropout_on = seed is not None and dropout_rate > 0.0
+    dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
+
+    rb = _pick_fused_row_block(B, T, H, num_heads, jnp.dtype(cdtype).itemsize)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        xp = _pad_to(xp, 0, rb)
+        bias_arr = _pad_to(bias_arr, 0, rb)
+    Bp = B + pad_rows
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const_spec((H, 3 * H)),
+        const_spec((1, 3 * H)),
+        const_spec((H, H)),
+        const_spec((1, H)),
+        pl.BlockSpec((rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        xp,
+        wqkv.astype(cdtype),
+        jnp.reshape(bqkv, (1, 3 * H)).astype(cdtype),
+        wo.astype(cdtype),
+        jnp.reshape(bo, (1, H)).astype(cdtype),
+        bias_arr,
+    ]
+    prng = None
+    if dropout_on:
+        prng = (T0, _dropout_thresh(dropout_rate))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(seed, (1,)).astype(jnp.uint32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_proj_attn_kernel,
+            scale=scale, num_heads=num_heads, compute_dtype=jnp.dtype(cdtype),
+            dropout_scale=dropout_scale, prng=prng,
+        ),
+        grid=(Bp // rb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, T, H), cdtype),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+    return out[:B, :T0], (x, wqkv, bqkv, wo, bias, seed)
+
+
+def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
+    x, wqkv, bqkv, wo, bias, seed = residuals
+    B, T0, H = x.shape
+    cdtype = x.dtype
+    xp, bias_arr, _, T, pad_t = _train_operands(
+        x, wqkv, bqkv, wo, None, bias, seed, num_heads, cdtype
+    )
+    D = H // num_heads
+    scale = 1.0 / (D ** 0.5)
+    dropout_on = seed is not None and dropout_rate > 0.0
+    dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
+
+    gp = g
+    if pad_t:
+        gp = jnp.pad(gp, ((0, 0), (0, pad_t), (0, 0)))
+
+    rb = _pick_bwd_row_block(B, T, H, jnp.dtype(cdtype).itemsize)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        xp = _pad_to(xp, 0, rb)
+        gp = _pad_to(gp, 0, rb)
+        bias_arr = _pad_to(bias_arr, 0, rb)
+    Bp = B + pad_rows
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const_spec((H, 3 * H)),
+        const_spec((1, 3 * H)),
+        const_spec((H, H)),
+        pl.BlockSpec((rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        xp,
+        wqkv.astype(cdtype),
+        jnp.reshape(bqkv, (1, 3 * H)).astype(cdtype),
+        wo.astype(cdtype),
+        bias_arr,
+        gp.astype(cdtype),
+    ]
+    prng = None
+    if dropout_on:
+        prng = (T0, _dropout_thresh(dropout_rate))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.reshape(seed, (1,)).astype(jnp.uint32))
+
+    dqkv, dwo, dbo = pl.pallas_call(
+        functools.partial(
+            _fused_proj_bwd_kernel,
+            scale=scale, num_heads=num_heads, compute_dtype=jnp.dtype(cdtype),
+            dropout_scale=dropout_scale, prng=prng,
+        ),
+        grid=(Bp // rb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rb, T, 3 * H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, T, 3 * H), cdtype),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+
+    dqkv = dqkv[:B, :T0]                        # [B, T0, 3H]
+    dqkv2 = dqkv.reshape(B * T0, 3 * H)
+    x2 = x.reshape(B * T0, H).astype(cdtype)
+    # The three clean GEMMs stay in XLA (they run at MXU peak and their
+    # operands are already in HBM): dx, dWqkv, dbqkv.
+    dx = jax.lax.dot_general(
+        dqkv2, wqkv.astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, T0, H).astype(x.dtype)
+    dwqkv = jax.lax.dot_general(
+        x2, dqkv2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv = jnp.sum(dqkv2.astype(jnp.float32), axis=0)
+    return (dx, dwqkv, dbqkv, dwo, dbo[0], None, None)
+
+
+fused_proj_attention_train.defvjp(_fused_proj_train_fwd, _fused_proj_train_bwd)
