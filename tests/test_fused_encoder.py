@@ -486,3 +486,23 @@ def test_train_op_dropout_zeroes_and_scales():
     # And some exact zeros should exist only if whole rows were dropped —
     # spot-check the value distribution is not degenerate.
     assert float(jnp.std(y)) > 0.05
+
+
+def test_tail_op_multi_chunk_accumulator():
+    """At real-model width (H=768, FF=3072) the picker splits the FF axis
+    into chunks and the h2 accumulator/u-scratch logic engages — the sliced
+    single-chunk small-shape tests never reach it."""
+    from stlt_tpu.ops.fused_encoder import _pick_tail_blocks, fused_layer_tail
+
+    rb, ffb = _pick_tail_blocks(2, 8, 768, 3072, 4)
+    assert ffb < 3072, (rb, ffb)  # multi-chunk actually engaged
+    rng = np.random.default_rng(41)
+    args = _rand_tail_inputs(rng, 2, 8, 768, 3072)
+    got = fused_layer_tail(
+        *args, eps=1e-12, compute_dtype=jnp.float32, activation="gelu",
+        gelu_approximate=False,
+    )
+    want = _unfused_tail(*args, 1e-12, jnp.float32, "gelu")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
