@@ -604,9 +604,10 @@ def _fused_proj_bwd_kernel(
         dbo_ref[...] = dbo_ref[...] + dbo_partial
 
 
-def _train_operands(x, wqkv, bqkv, wo, bo, bias, seed, num_heads, cdtype):
-    """Shared fwd/bwd padding + spec assembly. Returns everything both
-    launchers need, with T padded to the f32 sublane tile."""
+def _train_operands(x, bias):
+    """Shared fwd/bwd token padding: broadcast the bias and pad T to the
+    f32 sublane tile (padded keys get -1e9; padded query rows are junk and
+    sliced off by the callers)."""
     B, T0, H = x.shape
     bias4 = None
     if bias is not None:
@@ -670,9 +671,7 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
                           bias, seed):
     B, T0, H = x.shape
     cdtype = x.dtype
-    xp, bias_arr, _, T, _ = _train_operands(
-        x, wqkv, bqkv, wo, bo, bias, seed, num_heads, cdtype
-    )
+    xp, bias_arr, _, T, _ = _train_operands(x, bias)
     D = H // num_heads
     scale = 1.0 / (D ** 0.5)
     dropout_on = seed is not None and dropout_rate > 0.0
@@ -734,9 +733,7 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
     x, wqkv, bqkv, wo, bias, seed = residuals
     B, T0, H = x.shape
     cdtype = x.dtype
-    xp, bias_arr, _, T, pad_t = _train_operands(
-        x, wqkv, bqkv, wo, None, bias, seed, num_heads, cdtype
-    )
+    xp, bias_arr, _, T, pad_t = _train_operands(x, bias)
     D = H // num_heads
     scale = 1.0 / (D ** 0.5)
     dropout_on = seed is not None and dropout_rate > 0.0
