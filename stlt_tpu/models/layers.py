@@ -389,7 +389,16 @@ class TransformerEncoderLayer(nn.Module):
         )()
         n2_scale, n2_bias = LayerNormParams(H, name="norm2")()
 
-        if self.use_pallas and deterministic:
+        from stlt_tpu.ops.fused_encoder import tail_blocks_fit
+
+        if (
+            self.use_pallas
+            and deterministic
+            and tail_blocks_fit(
+                x.shape[0], x.shape[1], H, FF,
+                jnp.dtype(self.dtype).itemsize,
+            )
+        ):
             # Eval fast path: residual+norm1, the FFN (whose 4H-wide hidden
             # is the model's largest activation) and residual+norm2 in ONE
             # Pallas kernel (ops/fused_encoder.fused_layer_tail) — none of

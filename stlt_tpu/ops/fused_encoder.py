@@ -380,8 +380,15 @@ def _pick_tail_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
         # row block stays usefully large.
         if best is None or rb * ffb > best[0] * best[1]:
             best = (rb, ffb)
-    assert best is not None
+    # None = no chunking fits scoped VMEM at this shape (e.g. 512-frame
+    # f32): the dispatch in models/layers.py then keeps the XLA chain.
     return best
+
+
+def tail_blocks_fit(rows: int, t: int, h: int, ff: int, itemsize: int) -> bool:
+    """Dispatch predicate: does any (row-block, ff-chunk) fit scoped VMEM?
+    Token axis is padded to 8 first, as the launcher will."""
+    return _pick_tail_blocks(rows, t + (-t) % 8, h, ff, itemsize) is not None
 
 
 def fused_layer_tail(
@@ -416,7 +423,13 @@ def fused_layer_tail(
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
         attn_out = jnp.pad(attn_out, ((0, 0), (0, pad_t), (0, 0)))
 
-    rb, ffb = _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
+    blocks = _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
+    assert blocks is not None, (
+        "no tail block configuration fits scoped VMEM at "
+        f"(T={T}, H={H}, FF={FF}, {cdtype}); the dispatch gate "
+        "(tail_blocks_fit) should have kept this shape on the XLA chain"
+    )
+    rb, ffb = blocks
     pad_rows = (-B) % rb
     if pad_rows:
         x = _pad_to(x, 0, rb)
