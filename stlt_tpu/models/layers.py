@@ -221,12 +221,15 @@ class MultiHeadAttention(nn.Module):
         attn_lengths = kv_lengths if use_lengths else None
 
         from stlt_tpu.ops.fused_encoder import (
+            FUSED_PROJ_ENABLED,
             FUSED_PROJ_MAX_SEQ,
+            FUSED_TRAIN_ENABLED,
             fused_proj_attention,
         )
 
         if (
-            self.use_pallas
+            FUSED_PROJ_ENABLED
+            and self.use_pallas
             and deterministic
             and ring_mesh is None
             and query is key
@@ -248,7 +251,8 @@ class MultiHeadAttention(nn.Module):
             )
 
         if (
-            self.use_pallas
+            FUSED_TRAIN_ENABLED
+            and self.use_pallas
             and not deterministic
             and ring_mesh is None
             and query is key
@@ -389,10 +393,14 @@ class TransformerEncoderLayer(nn.Module):
         )()
         n2_scale, n2_bias = LayerNormParams(H, name="norm2")()
 
-        from stlt_tpu.ops.fused_encoder import tail_blocks_fit
+        from stlt_tpu.ops.fused_encoder import (
+            FUSED_TAIL_ENABLED,
+            tail_blocks_fit,
+        )
 
         if (
-            self.use_pallas
+            FUSED_TAIL_ENABLED
+            and self.use_pallas
             and deterministic
             and tail_blocks_fit(
                 x.shape[0], x.shape[1], H, FF,

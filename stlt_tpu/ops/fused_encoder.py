@@ -41,6 +41,7 @@ kernel's output write did). Parity: tests/test_fused_encoder.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -59,6 +60,13 @@ from stlt_tpu.ops.flash import (
 # Covers the spatial (8), temporal (17/34) and appearance (33) encoders;
 # longer sequences (256-frame+) stay on the blockwise kernels.
 FUSED_PROJ_MAX_SEQ = 64
+
+# A/B + debug kill-switches (read once at import): setting any to "0"
+# routes that dispatch back to the previous path. Used to attribute bench
+# deltas to one kernel at a time and as insurance on new hardware.
+FUSED_PROJ_ENABLED = os.environ.get("STLT_FUSED_PROJ", "1") != "0"
+FUSED_TAIL_ENABLED = os.environ.get("STLT_FUSED_TAIL", "1") != "0"
+FUSED_TRAIN_ENABLED = os.environ.get("STLT_FUSED_PROJ_TRAIN", "1") != "0"
 
 
 def _fused_proj_attn_kernel(
