@@ -251,6 +251,28 @@ class MultiHeadAttention(nn.Module):
             )
 
         if (
+            FUSED_PROJ_ENABLED
+            and self.use_pallas
+            and deterministic
+            and query is not key
+            and key is value
+            and max(T, S) <= FUSED_PROJ_MAX_SEQ
+            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+        ):
+            # Cross-attention eval fast path (fusion models): q projects
+            # from the inputs, k/v from the context, all in one kernel —
+            # with this, every attention in every model is fused on eval.
+            from stlt_tpu.ops.fused_encoder import fused_cross_attention
+
+            wkv = jnp.concatenate([wk, wv], axis=1)
+            bkv = jnp.concatenate([bk, bv])
+            return fused_cross_attention(
+                query.astype(self.dtype), key.astype(self.dtype),
+                wq, bq, wkv, bkv, wo, bo, bias,
+                num_heads=N, compute_dtype=self.dtype,
+            )
+
+        if (
             FUSED_TRAIN_ENABLED
             and self.use_pallas
             and not deterministic

@@ -841,3 +841,160 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
 
 
 fused_proj_attention_train.defvjp(_fused_proj_train_fwd, _fused_proj_train_bwd)
+
+
+# --- fused cross-attention (eval) --------------------------------------------
+#
+# Same design as the self-attention kernel, for the fusion models'
+# CrossAttentionLayer (reference models.py:367-388): queries project from
+# x, keys/values from a different context sequence. One program per row
+# block computes q = x W_q, kv = ctx W_kv, per-head attention over the
+# [T, S] tile and the out-projection — with this, every attention in every
+# model runs fused on the eval path.
+
+
+def _fused_cross_attn_kernel(
+    x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    bias_ref, o_ref, *, scale: float, num_heads: int, compute_dtype,
+):
+    rb, t, h = x_ref.shape
+    s = ctx_ref.shape[1]
+    n, d = num_heads, h // num_heads
+    x = x_ref[...].astype(jnp.float32).reshape(rb * t, h)
+    ctx = ctx_ref[...].astype(jnp.float32).reshape(rb * s, h)
+    q = jax.lax.dot_general(
+        x.astype(compute_dtype), wq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0].astype(jnp.float32)
+    q = q.astype(compute_dtype).astype(jnp.float32)
+    kv = jax.lax.dot_general(
+        ctx.astype(compute_dtype), wkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bkv_ref[0].astype(jnp.float32)
+    kv = kv.astype(compute_dtype).astype(jnp.float32)
+    bias = bias_ref[:, 0].astype(jnp.float32)
+    outs = []
+    for i in range(n):
+        q_h = q[:, i * d:(i + 1) * d].reshape(rb, t, d)
+        k_h = kv[:, i * d:(i + 1) * d].reshape(rb, s, d)
+        v_h = kv[:, h + i * d:h + (i + 1) * d].reshape(rb, s, d)
+        logits = jax.lax.dot_general(
+            q_h, k_h,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v_h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(outs, axis=-1).reshape(rb * t, h)
+    y = jax.lax.dot_general(
+        attn.astype(compute_dtype), wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0].astype(jnp.float32)
+    o_ref[...] = y.reshape(rb, t, h).astype(o_ref.dtype)
+
+
+def fused_cross_attention(
+    x: jnp.ndarray,
+    ctx: jnp.ndarray,
+    wq: jnp.ndarray,
+    bq: jnp.ndarray,
+    wkv: jnp.ndarray,
+    bkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    compute_dtype,
+) -> jnp.ndarray:
+    """Cross-attention sublayer in one kernel. x: [B, T, H] queries;
+    ctx: [B, S, H] keys/values; wkv: [H, 2H] (k and v kernels concatenated).
+    bias broadcastable to [B, 1, T, S], head-invariant. Eval only."""
+    B, T0, H = x.shape
+    S0 = ctx.shape[1]
+    assert H % num_heads == 0
+    D = H // num_heads
+    scale = 1.0 / (D ** 0.5)
+    cdtype = jnp.dtype(compute_dtype)
+
+    bias4 = None
+    if bias is not None:
+        bias4 = jnp.asarray(bias, jnp.float32)
+        while bias4.ndim < 4:
+            bias4 = bias4[None]
+        assert bias4.shape[1] == 1
+    bias_arr = _broadcast_bias(bias4, B, T0, S0)
+
+    pad_t, pad_s = (-T0) % 8, (-S0) % 8
+    T, S = T0 + pad_t, S0 + pad_s
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+        bias_arr = jnp.pad(bias_arr, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    if pad_s:
+        ctx = jnp.pad(ctx, ((0, 0), (0, pad_s), (0, 0)))
+        bias_arr = jnp.pad(
+            bias_arr, ((0, 0), (0, 0), (0, 0), (0, pad_s)),
+            constant_values=-1e9,
+        )
+
+    # The self-attention picker's estimate is a strict upper bound here
+    # (same buffers with kv at 2H instead of 3H).
+    rb = _pick_fused_row_block(B, max(T, S), H, num_heads, cdtype.itemsize)
+    pad_rows = (-B) % rb
+    if pad_rows:
+        x = _pad_to(x, 0, rb)
+        ctx = _pad_to(ctx, 0, rb)
+        bias_arr = _pad_to(bias_arr, 0, rb)
+    Bp = B + pad_rows
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_cross_attn_kernel,
+            scale=scale, num_heads=num_heads, compute_dtype=cdtype,
+        ),
+        grid=(Bp // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const_spec((H, H)),
+            const_spec((1, H)),
+            const_spec((H, 2 * H)),
+            const_spec((1, 2 * H)),
+            const_spec((H, H)),
+            const_spec((1, H)),
+            pl.BlockSpec((rb, 1, T, S), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x,
+        ctx,
+        wq.astype(cdtype),
+        jnp.reshape(bq, (1, H)).astype(cdtype),
+        wkv.astype(cdtype),
+        jnp.reshape(bkv, (1, 2 * H)).astype(cdtype),
+        wo.astype(cdtype),
+        jnp.reshape(bo, (1, H)).astype(cdtype),
+        bias_arr,
+    )
+    return out[:B, :T0]

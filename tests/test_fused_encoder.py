@@ -169,11 +169,35 @@ def test_module_non_multiple_of_8_matches():
     np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
 
 
-def test_module_cross_attention_bypasses_and_matches():
+def test_module_cross_attention_fused_matches():
+    """Cross-attention (query != key/value) rides fused_cross_attention on
+    eval — including the mixed T=8 / S=6 (padded to 8) shape — and must
+    match the XLA chain."""
     key = jax.random.PRNGKey(1)
     _, fused = _mha_outputs(key, True, cross=True)
     _, plain = _mha_outputs(key, False, cross=True)
     np.testing.assert_allclose(fused, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_module_cross_attention_appearance_shape_matches():
+    """The fusion models' real shape: 34 layout frames attending over 33
+    appearance tokens (both pad in-launcher)."""
+    H, N, B = 32, 4, 3
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.normal(0, 1, (B, 34, H)), jnp.float32)
+    kv = jnp.asarray(rng.normal(0, 1, (B, 33, H)), jnp.float32)
+    pad = np.zeros((B, 33), bool)
+    pad[:, -5:] = True
+    bias = masks.key_padding_bias(jnp.asarray(pad))
+    outs = {}
+    for use_pallas in (False, True):
+        mha = MultiHeadAttention(hidden_size=H, num_heads=N,
+                                 use_pallas=use_pallas)
+        params = mha.init(jax.random.PRNGKey(2), x, kv, kv, bias)["params"]
+        outs[use_pallas] = np.asarray(
+            mha.apply({"params": params}, x, kv, kv, bias)
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5, rtol=1e-5)
 
 
 def test_module_train_path_unchanged():
