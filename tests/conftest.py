@@ -15,9 +15,20 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call" not in _flags:
+    # XLA:CPU's collective rendezvous watchdog aborts the PROCESS (F-level
+    # CHECK, rendezvous.cc) when the 8 virtual devices don't all reach a
+    # collective within 40s. On this 1-core box the device threads
+    # timeshare one core, and a heavy interpret-mode pallas test running
+    # concurrently (async dispatch) starves them well past 40s — the suite
+    # died with "Fatal Python error: Aborted" ~25 min in. These are debug
+    # watchdogs, not correctness checks: give them CI-scale patience.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
