@@ -224,7 +224,15 @@ class MultiHeadAttention(nn.Module):
             FUSED_PROJ_ENABLED,
             FUSED_PROJ_MAX_SEQ,
             FUSED_TRAIN_ENABLED,
+            fused_cross_fits,
             fused_proj_attention,
+            fused_proj_fits,
+            fused_train_fits,
+        )
+
+        itemsize = jnp.dtype(self.dtype).itemsize
+        bias_head_invariant = (
+            bias is None or bias.ndim < 3 or bias.shape[-3] == 1
         )
 
         if (
@@ -235,14 +243,15 @@ class MultiHeadAttention(nn.Module):
             and query is key
             and key is value
             and T <= FUSED_PROJ_MAX_SEQ
-            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+            and bias_head_invariant
+            and fused_proj_fits(B, T, H, N, itemsize)
         ):
             # Eval fast path: projections + attention + out-projection in ONE
             # Pallas kernel (ops/fused_encoder) — q/k/v and the attention
             # output never round-trip HBM, and the head-split transposes
             # disappear. Gated to self-attention with a head-invariant bias
-            # (every encoder here); the train path keeps the flash kernels
-            # with the hashed-dropout stream and their fused backwards.
+            # (every encoder here). The TRAIN path has its own fused kernel
+            # pair below; cross-attention its own two branches down.
             wqkv = jnp.concatenate([wq, wk, wv], axis=1)
             bqkv = jnp.concatenate([bq, bk, bv])
             return fused_proj_attention(
@@ -254,10 +263,12 @@ class MultiHeadAttention(nn.Module):
             FUSED_PROJ_ENABLED
             and self.use_pallas
             and deterministic
+            and ring_mesh is None
             and query is not key
             and key is value
             and max(T, S) <= FUSED_PROJ_MAX_SEQ
-            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+            and bias_head_invariant
+            and fused_cross_fits(B, T, S, H, N, itemsize)
         ):
             # Cross-attention eval fast path (fusion models): q projects
             # from the inputs, k/v from the context, all in one kernel —
@@ -280,7 +291,8 @@ class MultiHeadAttention(nn.Module):
             and query is key
             and key is value
             and T <= FUSED_PROJ_MAX_SEQ
-            and (bias is None or bias.ndim < 3 or bias.shape[-3] == 1)
+            and bias_head_invariant
+            and fused_train_fits(B, T, H, N, itemsize)
         ):
             # TRAIN fast path: the same fused projection+attention kernel
             # with in-kernel hashed dropout, plus a custom backward that

@@ -69,6 +69,29 @@ FUSED_TAIL_ENABLED = os.environ.get("STLT_FUSED_TAIL", "1") != "0"
 FUSED_TRAIN_ENABLED = os.environ.get("STLT_FUSED_PROJ_TRAIN", "1") != "0"
 
 
+def _const_spec(shape):
+    """Grid-constant VMEM block (weights/biases): same block every step, so
+    Mosaic fetches it once for the whole grid."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape, lambda *_args, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+    )
+
+
+def _best_row_block(rows: int, rb0: int) -> int:
+    """Largest block <= rb0 minimizing pad waste within [rb0/2, rb0]."""
+    if rb0 >= rows:
+        return rows
+    best, best_pad = rb0, (-rows) % rb0
+    for cand in range(rb0, max(rb0 // 2, 1) - 1, -1):
+        pad = (-rows) % cand
+        if pad < best_pad:
+            best, best_pad = cand, pad
+            if pad == 0:
+                break
+    return best
+
+
 def _fused_proj_attn_kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref, *rest,
     scale: float, num_heads: int, compute_dtype,
@@ -158,18 +181,61 @@ def _pick_fused_row_block(rows: int, t: int, h: int, n: int, itemsize: int) -> i
     )
     weights = (3 * h + h) * h * itemsize + 4 * h * itemsize
     budget = 12 * 1024 * 1024 - weights
-    rb = max(1, min(budget // max(per_row, 1), rows))
-    if rb >= rows:
-        return rows
-    # Prefer zero/low padding within [rb/2, rb].
-    best, best_pad = rb, (-rows) % rb
-    for cand in range(rb, max(rb // 2, 1) - 1, -1):
-        pad = (-rows) % cand
-        if pad < best_pad:
-            best, best_pad = cand, pad
-            if pad == 0:
-                break
-    return best
+    rb0 = min(budget // max(per_row, 1), rows)
+    if rb0 < 1:
+        # Not even one row fits next to the grid-resident weights (e.g.
+        # H >= 1024 at f32): the dispatch predicate keeps the XLA chain.
+        return None
+    return _best_row_block(rows, rb0)
+
+
+def _pick_cross_row_block(rows: int, t: int, s: int, h: int, n: int,
+                          itemsize: int):
+    """Row block for the cross kernel with its OWN buffer accounting (the
+    self-attention picker under-counts: it omits the ctx block, the f32
+    x/ctx flatten copies and the 2H kv buffer). Conservative tiled bytes;
+    None when nothing fits."""
+    t_sub = -(t // -8) * 8
+    s_sub = -(s // -8) * 8
+    s_lane = -(s // -128) * 128
+    per_row = (
+        (2 * t_sub + s_sub) * h * itemsize      # x, out, ctx blocks
+        + (t_sub + s_sub) * h * 4               # x/ctx f32 flatten copies
+        + t_sub * h * (8 + itemsize)            # q f32 + compute copy
+        + s_sub * 2 * h * (8 + itemsize)        # kv f32 + compute copy
+        + (t_sub + 2 * s_sub) * 128 * 4         # per-head q/k/v tiles
+        + 2 * t_sub * s_lane * 4                # logits/probs
+        + t_sub * h * 4                         # attn concat (f32)
+        + t_sub * s_lane * 4                    # bias block
+    )
+    weights = 4 * h * h * itemsize + 4 * h * itemsize
+    budget = 12 * 1024 * 1024 - weights
+    rb0 = min(budget // max(per_row, 1), rows)
+    if rb0 < 1:
+        return None
+    return _best_row_block(rows, rb0)
+
+
+def fused_proj_fits(rows: int, t: int, h: int, n: int, itemsize: int) -> bool:
+    """Dispatch predicate for the eval self-attention kernel."""
+    return _pick_fused_row_block(rows, t + (-t) % 8, h, n, itemsize) is not None
+
+
+def fused_train_fits(rows: int, t: int, h: int, n: int, itemsize: int) -> bool:
+    """Dispatch predicate for the train path: BOTH the fused forward and the
+    fused backward must fit scoped VMEM."""
+    tp = t + (-t) % 8
+    return (
+        _pick_fused_row_block(rows, tp, h, n, itemsize) is not None
+        and _pick_bwd_row_block(rows, tp, h, itemsize) is not None
+    )
+
+
+def fused_cross_fits(rows: int, t: int, s: int, h: int, n: int,
+                     itemsize: int) -> bool:
+    return _pick_cross_row_block(
+        rows, t + (-t) % 8, s + (-s) % 8, h, n, itemsize
+    ) is not None
 
 
 def fused_proj_attention(
@@ -223,18 +289,17 @@ def fused_proj_attention(
 
     itemsize = jnp.dtype(compute_dtype).itemsize
     rb = row_block or _pick_fused_row_block(B, T, H, num_heads, itemsize)
+    assert rb is not None, (
+        f"no fused-proj row block fits scoped VMEM at (T={T}, H={H}, "
+        f"{compute_dtype}); the dispatch gate (fused_proj_fits) should have "
+        "kept this shape on the flash/XLA path"
+    )
     pad_rows = (-B) % rb
     if pad_rows:
         x = _pad_to(x, 0, rb)
         bias_arr = _pad_to(bias_arr, 0, rb)
     Bp = B + pad_rows
     grid = (Bp // rb,)
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
-        )
 
     out = pl.pallas_call(
         functools.partial(
@@ -245,10 +310,10 @@ def fused_proj_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const_spec((H, 3 * H)),
-            const_spec((1, 3 * H)),
-            const_spec((H, H)),
-            const_spec((1, H)),
+            _const_spec((H, 3 * H)),
+            _const_spec((1, 3 * H)),
+            _const_spec((H, H)),
+            _const_spec((1, H)),
             pl.BlockSpec(
                 (rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -372,18 +437,10 @@ def _pick_tail_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
         budget = 12 * 1024 * 1024 - weights
         if budget <= per_row:
             continue
-        rb = max(1, min(budget // per_row, rows))
-        if rb >= rows:
-            rb = rows
-        else:
-            cand_best, cand_pad = rb, (-rows) % rb
-            for cand in range(rb, max(rb // 2, 1) - 1, -1):
-                pad = (-rows) % cand
-                if pad < cand_pad:
-                    cand_best, cand_pad = cand, pad
-                    if pad == 0:
-                        break
-            rb = cand_best
+        rb0 = min(budget // per_row, rows)
+        if rb0 < 1:
+            continue
+        rb = _best_row_block(rows, rb0)
         # Prefer fewer chunks (fewer scratch round trips) as long as the
         # row block stays usefully large.
         if best is None or rb * ffb > best[0] * best[1]:
@@ -628,7 +685,8 @@ def _fused_proj_bwd_kernel(
 def _train_operands(x, bias):
     """Shared fwd/bwd token padding: broadcast the bias and pad T to the
     f32 sublane tile (padded keys get -1e9; padded query rows are junk and
-    sliced off by the callers)."""
+    sliced off by the callers). Returns (x_padded, bias_arr, T_padded,
+    pad_t)."""
     B, T0, H = x.shape
     bias4 = None
     if bias is not None:
@@ -645,7 +703,7 @@ def _train_operands(x, bias):
             bias_arr, ((0, 0), (0, 0), (0, 0), (0, pad_t)),
             constant_values=-1e9,
         )
-    return x, bias_arr, T0, T, pad_t
+    return x, bias_arr, T, pad_t
 
 
 def _pick_bwd_row_block(rows: int, t: int, h: int, itemsize: int) -> int:
@@ -662,17 +720,10 @@ def _pick_bwd_row_block(rows: int, t: int, h: int, itemsize: int) -> int:
     )
     fixed = (3 * h + h) * h * itemsize + h * h * 4 + 8 * h * 4
     budget = 12 * 1024 * 1024 - fixed
-    rb = max(1, min(budget // max(per_row, 1), rows))
-    if rb >= rows:
-        return rows
-    best, best_pad = rb, (-rows) % rb
-    for cand in range(rb, max(rb // 2, 1) - 1, -1):
-        pad = (-rows) % cand
-        if pad < best_pad:
-            best, best_pad = cand, pad
-            if pad == 0:
-                break
-    return best
+    rb0 = min(budget // max(per_row, 1), rows)
+    if rb0 < 1:
+        return None
+    return _best_row_block(rows, rb0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -692,31 +743,26 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
                           bias, seed):
     B, T0, H = x.shape
     cdtype = x.dtype
-    xp, bias_arr, _, T, _ = _train_operands(x, bias)
+    xp, bias_arr, T, _ = _train_operands(x, bias)
     D = H // num_heads
     scale = 1.0 / (D ** 0.5)
     dropout_on = seed is not None and dropout_rate > 0.0
     dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
 
     rb = _pick_fused_row_block(B, T, H, num_heads, jnp.dtype(cdtype).itemsize)
+    assert rb is not None, "gate fused_train_fits should have prevented this"
     pad_rows = (-B) % rb
     if pad_rows:
         xp = _pad_to(xp, 0, rb)
         bias_arr = _pad_to(bias_arr, 0, rb)
     Bp = B + pad_rows
 
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
-        )
-
     in_specs = [
         pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        const_spec((H, 3 * H)),
-        const_spec((1, 3 * H)),
-        const_spec((H, H)),
-        const_spec((1, H)),
+        _const_spec((H, 3 * H)),
+        _const_spec((1, 3 * H)),
+        _const_spec((H, H)),
+        _const_spec((1, H)),
         pl.BlockSpec((rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [
@@ -754,7 +800,7 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
     x, wqkv, bqkv, wo, bias, seed = residuals
     B, T0, H = x.shape
     cdtype = x.dtype
-    xp, bias_arr, _, T, pad_t = _train_operands(x, bias)
+    xp, bias_arr, T, pad_t = _train_operands(x, bias)
     D = H // num_heads
     scale = 1.0 / (D ** 0.5)
     dropout_on = seed is not None and dropout_rate > 0.0
@@ -765,6 +811,7 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         gp = jnp.pad(gp, ((0, 0), (0, pad_t), (0, 0)))
 
     rb = _pick_bwd_row_block(B, T, H, jnp.dtype(cdtype).itemsize)
+    assert rb is not None, "gate fused_train_fits should have prevented this"
     pad_rows = (-B) % rb
     if pad_rows:
         xp = _pad_to(xp, 0, rb)
@@ -772,17 +819,11 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         bias_arr = _pad_to(bias_arr, 0, rb)
     Bp = B + pad_rows
 
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
-        )
-
     in_specs = [
         pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        const_spec((H, 3 * H)),
-        const_spec((1, 3 * H)),
-        const_spec((H, H)),
+        _const_spec((H, 3 * H)),
+        _const_spec((1, 3 * H)),
+        _const_spec((H, H)),
         pl.BlockSpec((rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -948,21 +989,18 @@ def fused_cross_attention(
             constant_values=-1e9,
         )
 
-    # The self-attention picker's estimate is a strict upper bound here
-    # (same buffers with kv at 2H instead of 3H).
-    rb = _pick_fused_row_block(B, max(T, S), H, num_heads, cdtype.itemsize)
+    rb = _pick_cross_row_block(B, T, S, H, num_heads, cdtype.itemsize)
+    assert rb is not None, (
+        f"no cross-attention row block fits scoped VMEM at (T={T}, S={S}, "
+        f"H={H}, {cdtype}); the dispatch gate (fused_cross_fits) should "
+        "have kept this shape on the flash/XLA path"
+    )
     pad_rows = (-B) % rb
     if pad_rows:
         x = _pad_to(x, 0, rb)
         ctx = _pad_to(ctx, 0, rb)
         bias_arr = _pad_to(bias_arr, 0, rb)
     Bp = B + pad_rows
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
-        )
 
     out = pl.pallas_call(
         functools.partial(
@@ -973,12 +1011,12 @@ def fused_cross_attention(
         in_specs=[
             pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, S, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const_spec((H, H)),
-            const_spec((1, H)),
-            const_spec((H, 2 * H)),
-            const_spec((1, 2 * H)),
-            const_spec((H, H)),
-            const_spec((1, H)),
+            _const_spec((H, H)),
+            _const_spec((1, H)),
+            _const_spec((H, 2 * H)),
+            _const_spec((1, 2 * H)),
+            _const_spec((H, H)),
+            _const_spec((1, H)),
             pl.BlockSpec((rb, 1, T, S), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -201,8 +201,9 @@ def test_module_cross_attention_appearance_shape_matches():
 
 
 def test_module_train_path_unchanged():
-    """deterministic=False keeps the flash-kernel path (the fused-proj kernel
-    has no backward) — outputs must still match the XLA fallback's stream."""
+    """deterministic=False rides fused_proj_attention_train (in-kernel
+    hashed dropout + custom backward) — outputs must still match the XLA
+    fallback's hash-bit stream exactly."""
     key = jax.random.PRNGKey(2)
     _, fused = _mha_outputs(key, True, deterministic=False, dropout_rate=0.3)
     _, plain = _mha_outputs(key, False, deterministic=False, dropout_rate=0.3)
@@ -222,9 +223,8 @@ def test_param_tree_unchanged():
 
 
 def test_module_grad_through_train_path():
-    """The DenseParams refactor must not break AD: gradients flow through
-    the train path (deterministic=False — the fused-proj kernel, which has
-    no backward, is gated out there) into every projection param."""
+    """AD flows through the fused train path (custom_vjp backward) into
+    every projection param with finite, nonzero gradients."""
     key = jax.random.PRNGKey(4)
     H, N, B, T = 32, 4, 2, 5
     rng = np.random.default_rng(3)
@@ -530,3 +530,64 @@ def test_tail_op_multi_chunk_accumulator():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
+def test_train_op_bf16_grads_close_to_f32():
+    """{bf16 x fused-train-backward}: the corner class where the round-2
+    stem-conv bug hid. Grads of the bf16 fused path must track the f32
+    reference within bf16 tolerance and be finite/nonzero."""
+    from stlt_tpu.ops.fused_encoder import fused_proj_attention_train
+
+    rng = np.random.default_rng(61)
+    B, T, H, N, rate = 4, 8, 64, 4, 0.25
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    seed = jnp.uint32(99)
+
+    def loss_bf16(args):
+        x_, wqkv_, bqkv_, wo_, bo_ = args
+        y = fused_proj_attention_train(
+            N, rate, x_.astype(jnp.bfloat16), wqkv_, bqkv_, wo_, bo_,
+            None, seed,
+        )
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_f32(args):
+        x_, wqkv_, bqkv_, wo_, bo_ = args
+        y = _train_ref(x_, wqkv_, bqkv_, wo_, bo_, None, seed, rate, N,
+                       jnp.float32)
+        return jnp.sum(y ** 2)
+
+    args = (x, wqkv, bqkv, wo, bo)
+    g16 = jax.grad(loss_bf16)(args)
+    g32 = jax.grad(loss_f32)(args)
+    for a, b, name in zip(g16, g32, ["dx", "dwqkv", "dbqkv", "dwo", "dbo"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all(), name
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.08, (
+            name, np.abs(a - b).max(), denom)
+
+
+def test_module_h_too_big_falls_back():
+    """H=1024 f32: the grid-resident weights alone exceed scoped VMEM, so
+    fused_proj_fits must gate the kernels out and the XLA chain must run
+    (previously rb walked down to 1 and would OOM only on hardware)."""
+    from stlt_tpu.ops.fused_encoder import (
+        fused_proj_fits,
+        fused_train_fits,
+    )
+
+    assert not fused_proj_fits(64, 8, 1024, 16, 4)
+    assert not fused_train_fits(64, 8, 1024, 16, 4)
+    H, N, B, T = 1024, 16, 2, 8
+    rng = np.random.default_rng(62)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    mha = MultiHeadAttention(hidden_size=H, num_heads=N, use_pallas=True)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x, None)["params"]
+    jaxpr = jax.make_jaxpr(
+        lambda p, a: mha.apply({"params": p}, a, a, a, None)
+    )(params, x)
+    assert "dot_general" in str(jaxpr.jaxpr)  # projections stayed in XLA
+    out = mha.apply({"params": params}, x, x, x, None)
+    assert np.isfinite(np.asarray(out)).all()

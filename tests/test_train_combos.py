@@ -99,6 +99,15 @@ def test_f32_pallas_remat_train_step():
     _one_step("lcf", dtype="float32", use_pallas=True, remat=True)
 
 
+def test_bf16_fused_train_kernel_step():
+    """Round-3 fused train path in the risky corner: {bf16 × pallas ×
+    fused_proj_attention_train custom backward} through a REAL compiled
+    train step, plus remat (the custom_vjp is replayed inside
+    jax.checkpoint) and grad_accum (scanned microbatches re-trace it)."""
+    _one_step("stlt", dtype="bfloat16", use_pallas=True, remat=True,
+              grad_accum=2)
+
+
 def test_long_context_bf16_pallas_train_step():
     """The round-3 train-path features in one combo: blockwise-dispatched
     length (513 frames) × bf16 × pallas × dropout — the KV-loop Pallas
