@@ -25,11 +25,32 @@ if "collective_call" not in _flags:
     # died with "Fatal Python error: Aborted" ~25 min in. These are debug
     # watchdogs, not correctness checks: give them CI-scale patience.
     _flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
     )
 os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _drain_device_queues():
+    """Serialize tests at the device level: fetch a trivial computation on
+    EVERY virtual device after each test, so no async-dispatched program
+    (in particular an 8-participant collective whose arrays the test
+    dropped) is still in flight when the next test runs. Without this, a
+    stale cross-test collective interleaves with a later heavy
+    interpret-mode execution on this 1-core box and the participants
+    starve — the rendezvous watchdog then kills the process ~25 min into
+    the suite ("Fatal Python error: Aborted", rendezvous.cc)."""
+    yield
+    import jax
+    import jax.numpy as jnp
+
+    for d in jax.devices():
+        (jax.device_put(jnp.zeros(()), d) + 1).block_until_ready()
