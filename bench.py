@@ -43,7 +43,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+import traceback
 
 import jax
 import numpy as np
@@ -51,6 +53,38 @@ import numpy as np
 from __graft_entry__ import _synthetic_layout_batch
 
 NORTH_STAR = 5000.0  # layout-clips/sec/chip (BASELINE.md)
+
+
+def _init_backend_with_retry(attempts=4, base_backoff=30.0):
+    """Bounded backend-init retry: the TPU relay has a ~50s handshake and
+    documented outages (round 3 lost its entire bench to one rc=1 — see
+    VERDICT.md weak #1). Returns the device list, or raises after the last
+    attempt."""
+    last = None
+    for i in range(attempts):
+        try:
+            devs = jax.devices()
+            print(
+                json.dumps({
+                    "metric": "backend_init",
+                    "value": len(devs),
+                    "unit": f"devices ({devs[0].platform})",
+                    "vs_baseline": 1.0,
+                }),
+                file=sys.stderr, flush=True,
+            )
+            return devs
+        except Exception as e:  # noqa: BLE001 — relay errors vary by layer
+            last = e
+            wait = base_backoff * (i + 1)
+            print(
+                f"[bench] backend init attempt {i + 1}/{attempts} failed: "
+                f"{e!r}; retrying in {wait:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+            if i + 1 < attempts:
+                time.sleep(wait)
+    raise last
 
 
 def _chain_time(forward, params, inputs, n_short=2, n_long=18, reps=3):
@@ -399,8 +433,27 @@ def main():
 
     enable_compilation_cache()
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+
+    # A relay outage must yield a parseable error row, never rc=1
+    # (VERDICT r3 weak #1: BENCH_r03.json was rc=1/parsed:null).
+    try:
+        _init_backend_with_retry()
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+        for name in names:
+            print(
+                json.dumps({"metric": name, "error": f"backend init failed: {e!r}"}),
+                flush=True,
+            )
+        return
+
     for name in names:
-        print(json.dumps(WORKLOADS[name]()), flush=True)
+        try:
+            print(json.dumps(WORKLOADS[name]()), flush=True)
+        except Exception as e:  # noqa: BLE001 — one flaky workload must not
+            # cost the rows that already ran or the ones still to run.
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"metric": name, "error": repr(e)}), flush=True)
 
 
 if __name__ == "__main__":

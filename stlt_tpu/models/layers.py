@@ -321,13 +321,18 @@ class MultiHeadAttention(nn.Module):
             if ring_mesh is not None:
                 # Sequence-parallel ring: keep bits hash in-kernel from a
                 # seed folded with mesh coordinates + ring-step chunk id
-                # (ops/ring.py) — no O(T²/C) mask buffer per device.
+                # (ops/ring.py) — no O(T²/C) mask buffer per device. With
+                # kv_lengths, the dense bias is dropped too: each ring step
+                # generates its causal+padding tile in-kernel, so NOTHING
+                # sequence²-sized exists under context-parallel training.
                 from stlt_tpu.ops.ring import ring_attention
 
                 seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
                 out = ring_attention(
-                    q, k, v, bias, ring_mesh,
+                    q, k, v, None if kv_lengths is not None else bias,
+                    ring_mesh,
                     dropout_seed=seed, dropout_rate=self.dropout_rate,
+                    kv_lengths=kv_lengths, causal=self.causal,
                 )
             else:
                 # ONE hash-bit stream on every non-ring path: the Pallas
@@ -352,7 +357,10 @@ class MultiHeadAttention(nn.Module):
         elif ring_mesh is not None:
             from stlt_tpu.ops.ring import ring_attention
 
-            out = ring_attention(q, k, v, bias, ring_mesh)
+            out = ring_attention(
+                q, k, v, None if kv_lengths is not None else bias, ring_mesh,
+                kv_lengths=kv_lengths, causal=self.causal,
+            )
         else:
             out = dot_product_attention(
                 q, k, v, attn_bias, use_pallas=self.use_pallas,

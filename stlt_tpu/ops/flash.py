@@ -348,30 +348,58 @@ def _keep_block_heads(seed, b, n0, t0, s0, shape, num_heads, s_total, thresh):
     return (h >= jnp.uint32(thresh)).astype(jnp.float32)
 
 
-def _block_bias(bias_ref, lengths_bias, causal, b_i, t_i, s_i, shape):
+def _block_bias(bias_ref, lengths_bias, causal, b_i, t_i, s_i, shape,
+                off_base=None, valid_cols=None):
     """The additive bias tile for one (t, s) block: read from the dense
     [*, bn, tb, sb] operand, or GENERATED from the clip's kv length (the
     whole [B] int32 vector rides in SMEM un-blocked — TPU lowering rejects
     rank-1 sub-array blocks — and each program reads its own element) + the
     causal rule. The lengths mode is what removes the last O(T²) HBM buffer
-    from the long-context path (the [B, 1, T, S] bias)."""
+    from the long-context path (the [B, 1, T, S] bias).
+
+    ``off_base`` (static int): the ring (sequence-parallel) variant — the
+    lengths SMEM vector carries two extra elements [row_offset, col_offset]
+    at indices off_base/off_base+1 (traced per ring step: the device's query
+    rows start at row_offset globally, the K/V chunk it currently holds at
+    col_offset). ``valid_cols`` (static int) additionally masks the chunk's
+    sb-padding columns, whose GLOBAL index would alias into the next chunk's
+    range (single-device callers don't need this: there col >= S >= length)."""
     if not lengths_bias:
         return bias_ref[0].astype(jnp.float32)
     tb, sb = shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (tb, sb), 0) + t_i * tb
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, sb), 1) + s_i * sb
+    local_cols = jax.lax.broadcasted_iota(jnp.int32, (tb, sb), 1) + s_i * sb
+    cols = local_cols
+    if off_base is not None:
+        rows = rows + bias_ref[off_base]
+        cols = local_cols + bias_ref[off_base + 1]
     valid = cols < bias_ref[b_i]
+    if valid_cols is not None:
+        valid = valid & (local_cols < valid_cols)
     if causal:
         valid = valid & (cols <= rows)
     # [tb, sb], broadcasts over the head axis of the logits.
     return jnp.where(valid, 0.0, _NEG_INF)
 
 
+def _causal_live_off(t_blk, s_blk, tb: int, sb: int, bias_ref, off_base: int):
+    """Traced ring-step variant of ``_causal_live``: the block pair is live
+    iff its min GLOBAL key index <= its max GLOBAL query index. Block s=0 is
+    forced live in the FORWARD kernel (caller ORs ``s_blk == 0``) so no row's
+    softmax denominator is 0 — an all-masked s=0 block contributes finite
+    exp(-1e30)-scale terms that the cross-chunk lse merge then wipes."""
+    return (
+        s_blk * sb + bias_ref[off_base + 1]
+        <= (t_blk + 1) * tb - 1 + bias_ref[off_base]
+    )
+
+
 def _blockwise_attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
-    lengths_bias: bool = False,
+    lengths_bias: bool = False, off_base: Optional[int] = None,
+    valid_cols: Optional[int] = None,
 ):
     """Blockwise forward, ALL HEADS per program.
 
@@ -416,6 +444,7 @@ def _blockwise_attn_kernel(
         logits = logits * scale + _block_bias(
             bias_ref, lengths_bias, causal, b_i, t_i, s_i,
             (q_ref.shape[2], k_ref.shape[2]),
+            off_base=off_base, valid_cols=valid_cols,
         )
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
@@ -442,7 +471,13 @@ def _blockwise_attn_kernel(
         )
         m_ref[...] = m_new
 
-    if causal:
+    if causal and off_base is not None:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        live = (s_i == 0) | _causal_live_off(
+            t_i, s_i, tb_sz, sb_sz, bias_ref, off_base
+        )
+        pl.when(live)(_compute)
+    elif causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
@@ -478,18 +513,23 @@ def _blockwise_block_sizes(T: int, S: int):
 
 def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
                        seed=None, dropout_rate=0.0, causal=False,
-                       kv_lengths=None):
+                       kv_lengths=None, offsets=None):
     """Long-context path. qt/kt/vt: [B, N, T/S, D]; bias via EITHER a dense
     ``bias_arr`` [B, bn, T, S] OR ``kv_lengths`` [B] int32 (+ ``causal``) —
     the lengths mode generates the key-padding/causal bias IN-KERNEL from
     iota comparisons, so no [B, 1, T, S] buffer exists at all. Dropout via
     EITHER ``mask`` ([B, mn, T, S] keep mask) OR ``seed`` (uint32 scalar ->
-    in-kernel hash bits). Returns (out [B, N, T, D], lse [B, N, T])."""
+    in-kernel hash bits). ``offsets`` (lengths mode only): a traced int32
+    [2] = [row_offset, col_offset] — the ring (sequence-parallel) caller's
+    global coordinates for this device's query rows / the K/V chunk it
+    currently holds (ops/ring.py). Returns (out [B, N, T, D],
+    lse [B, N, T])."""
     B, N, T, D = qt.shape
     S = kt.shape[2]
     scale = 1.0 / (D ** 0.5)
     out_dtype = vt.dtype
     lengths_bias = kv_lengths is not None
+    assert offsets is None or lengths_bias, "offsets require kv_lengths"
 
     tb, sb = _blockwise_block_sizes(T, S)
     # Pad to block multiples: padded KV columns get large-negative bias
@@ -528,11 +568,20 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
         (1, N, tb, 1), lambda b, t, s: (b, 0, t, 0), memory_space=pltpu.VMEM
     )
 
+    off_base = valid_cols = None
     if lengths_bias:
         # Whole [B] vector un-blocked in SMEM (TPU lowering rejects rank-1
         # sub-array blocks); each program indexes its own element by b_i.
         bias_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         bias_operand = jnp.asarray(kv_lengths, jnp.int32)
+        if offsets is not None:
+            # Ring step: [row0, col0] ride in the same SMEM vector past the
+            # lengths; padded chunk columns must be masked by LOCAL index
+            # (their global index aliases into the next chunk's range).
+            bias_operand = jnp.concatenate(
+                [bias_operand, jnp.asarray(offsets, jnp.int32).reshape(2)]
+            )
+            off_base, valid_cols = B, S
     else:
         bias_spec = nts_spec(bias_arr.shape[1])
         bias_operand = bias_arr
@@ -556,6 +605,8 @@ def _blockwise_forward(qt, kt, vt, bias_arr, mask=None, dropout_scale=0.0,
             prng=prng,
             causal=causal,
             lengths_bias=lengths_bias,
+            off_base=off_base,
+            valid_cols=valid_cols,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -578,7 +629,8 @@ def _blockwise_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_kv_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
-    lengths_bias: bool = False,
+    lengths_bias: bool = False, off_base: Optional[int] = None,
+    valid_cols: Optional[int] = None,
 ):
     """dq for one (batch-row, q-block), ALL HEADS: KV loop innermost,
     probability block recomputed from the forward's saved logsumexp —
@@ -611,6 +663,7 @@ def _blockwise_dq_kernel(
         ) * scale + _block_bias(
             bias_ref, lengths_bias, causal, b_i, t_i, s_i,
             (q_ref.shape[2], k_ref.shape[2]),
+            off_base=off_base, valid_cols=valid_cols,
         )
         p = jnp.exp(z - lse[..., None])       # [N, tb, sb]; <= 1 by lse >= m
         dp = jax.lax.dot_general(
@@ -634,7 +687,12 @@ def _blockwise_dq_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
-    if causal:
+    if causal and off_base is not None:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        pl.when(_causal_live_off(t_i, s_i, tb_sz, sb_sz, bias_ref, off_base))(
+            _compute
+        )
+    elif causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
@@ -649,7 +707,8 @@ def _blockwise_dkdv_kernel(
     q_ref, k_ref, v_ref, bias_ref, lse_ref, dsum_ref, do_ref, *rest,
     scale: float, num_q_blocks: int, dropout_scale: float = 0.0,
     prng: Optional[tuple] = None, causal: bool = False,
-    lengths_bias: bool = False,
+    lengths_bias: bool = False, off_base: Optional[int] = None,
+    valid_cols: Optional[int] = None,
 ):
     """dk/dv for one (batch-row, kv-block), ALL HEADS: Q loop innermost.
     dv = (p∘keepc)ᵀ dO; dk = dzᵀ Q·scale with dz as in the dq kernel."""
@@ -681,6 +740,7 @@ def _blockwise_dkdv_kernel(
         ) * scale + _block_bias(
             bias_ref, lengths_bias, causal, b_i, t_i, s_i,
             (q_ref.shape[2], k_ref.shape[2]),
+            off_base=off_base, valid_cols=valid_cols,
         )
         p = jnp.exp(z - lse[..., None])       # [N, tb, sb]
         pv = p
@@ -712,7 +772,12 @@ def _blockwise_dkdv_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
-    if causal:
+    if causal and off_base is not None:
+        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+        pl.when(_causal_live_off(t_i, s_i, tb_sz, sb_sz, bias_ref, off_base))(
+            _compute
+        )
+    elif causal:
         tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
     else:
@@ -726,7 +791,7 @@ def _blockwise_dkdv_kernel(
 
 def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
                         dropout_scale=0.0, seed=None, dropout_rate=0.0,
-                        causal=False, kv_lengths=None):
+                        causal=False, kv_lengths=None, offsets=None):
     """KV-loop Pallas backward (long-context train path), heads-in-block.
 
     All activation-shaped tensors are [B, N, T/S, D] (head-major); bias_arr
@@ -825,6 +890,14 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
     bias_operand = (
         jnp.asarray(kv_lengths, jnp.int32) if lengths_bias else bias_arr
     )
+    off_base = valid_cols = None
+    if offsets is not None:
+        # Ring-step global coordinates (see _blockwise_forward).
+        assert lengths_bias, "offsets require kv_lengths"
+        bias_operand = jnp.concatenate(
+            [bias_operand, jnp.asarray(offsets, jnp.int32).reshape(2)]
+        )
+        off_base, valid_cols = B, S
 
     # --- dq: grid (B, head-groups, q-blocks, kv-blocks), kv innermost -------
     hb_q = pick_hb(1)
@@ -853,6 +926,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
             _blockwise_dq_kernel,
             scale=scale, num_kv_blocks=Sp // sb, dropout_scale=dropout_scale,
             prng=prng, causal=causal, lengths_bias=lengths_bias,
+            off_base=off_base, valid_cols=valid_cols,
         ),
         grid=(B, N // hb_q, Tp // tb, Sp // sb),
         in_specs=in_specs,
@@ -885,6 +959,7 @@ def _blockwise_backward(qt, kt, vt, bias_arr, mask, dOt, out_t, lse,
             _blockwise_dkdv_kernel,
             scale=scale, num_q_blocks=Tp // tb, dropout_scale=dropout_scale,
             prng=prng, causal=causal, lengths_bias=lengths_bias,
+            off_base=off_base, valid_cols=valid_cols,
         ),
         grid=(B, N // hb_kv, Sp // sb, Tp // tb),
         in_specs=in_specs,

@@ -201,8 +201,14 @@ def _pick_cross_row_block(rows: int, t: int, s: int, h: int, n: int,
     per_row = (
         (2 * t_sub + s_sub) * h * itemsize      # x, out, ctx blocks
         + (t_sub + s_sub) * h * 4               # x/ctx f32 flatten copies
-        + t_sub * h * (8 + itemsize)            # q f32 + compute copy
-        + s_sub * 2 * h * (8 + itemsize)        # kv f32 + compute copy
+        # q/kv buffers: charged (8 + itemsize) per element — 4 B for the f32
+        # copy plus a deliberate 2x margin over the compute copy. Mosaic's
+        # real allocation exceeds nominal by up to 16x on tiny tiles
+        # (CLAUDE.md VMEM traps); an undercounting picker OOMs on hardware
+        # while every CPU-interpreter test passes, so this model stays
+        # conservative by design.
+        + t_sub * h * (8 + itemsize)            # q f32 + margin
+        + s_sub * 2 * h * (8 + itemsize)        # kv f32 + margin
         + (t_sub + 2 * s_sub) * 128 * 4         # per-head q/k/v tiles
         + 2 * t_sub * s_lane * 4                # logits/probs
         + t_sub * h * 4                         # attn concat (f32)
@@ -289,11 +295,12 @@ def fused_proj_attention(
 
     itemsize = jnp.dtype(compute_dtype).itemsize
     rb = row_block or _pick_fused_row_block(B, T, H, num_heads, itemsize)
-    assert rb is not None, (
-        f"no fused-proj row block fits scoped VMEM at (T={T}, H={H}, "
-        f"{compute_dtype}); the dispatch gate (fused_proj_fits) should have "
-        "kept this shape on the flash/XLA path"
-    )
+    if rb is None:
+        raise RuntimeError(
+            f"no fused-proj row block fits scoped VMEM at (T={T}, H={H}, "
+            f"{compute_dtype}); the dispatch gate (fused_proj_fits) should "
+            "have kept this shape on the flash/XLA path"
+        )
     pad_rows = (-B) % rb
     if pad_rows:
         x = _pad_to(x, 0, rb)
@@ -489,11 +496,12 @@ def fused_layer_tail(
         attn_out = jnp.pad(attn_out, ((0, 0), (0, pad_t), (0, 0)))
 
     blocks = _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
-    assert blocks is not None, (
-        "no tail block configuration fits scoped VMEM at "
-        f"(T={T}, H={H}, FF={FF}, {cdtype}); the dispatch gate "
-        "(tail_blocks_fit) should have kept this shape on the XLA chain"
-    )
+    if blocks is None:
+        raise RuntimeError(
+            "no tail block configuration fits scoped VMEM at "
+            f"(T={T}, H={H}, FF={FF}, {cdtype}); the dispatch gate "
+            "(tail_blocks_fit) should have kept this shape on the XLA chain"
+        )
     rb, ffb = blocks
     pad_rows = (-B) % rb
     if pad_rows:
@@ -750,7 +758,11 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
     dropout_scale = 1.0 / (1.0 - dropout_rate) if dropout_on else 0.0
 
     rb = _pick_fused_row_block(B, T, H, num_heads, jnp.dtype(cdtype).itemsize)
-    assert rb is not None, "gate fused_train_fits should have prevented this"
+    if rb is None:
+        raise RuntimeError(
+            "no fused-train row block fits scoped VMEM; the dispatch gate "
+            "(fused_train_fits) should have kept this shape on the XLA chain"
+        )
     pad_rows = (-B) % rb
     if pad_rows:
         xp = _pad_to(xp, 0, rb)
@@ -811,7 +823,12 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         gp = jnp.pad(gp, ((0, 0), (0, pad_t), (0, 0)))
 
     rb = _pick_bwd_row_block(B, T, H, jnp.dtype(cdtype).itemsize)
-    assert rb is not None, "gate fused_train_fits should have prevented this"
+    if rb is None:
+        raise RuntimeError(
+            "no fused-train backward row block fits scoped VMEM; the dispatch "
+            "gate (fused_train_fits) should have kept this shape on the XLA "
+            "chain"
+        )
     pad_rows = (-B) % rb
     if pad_rows:
         xp = _pad_to(xp, 0, rb)
@@ -990,11 +1007,12 @@ def fused_cross_attention(
         )
 
     rb = _pick_cross_row_block(B, T, S, H, num_heads, cdtype.itemsize)
-    assert rb is not None, (
-        f"no cross-attention row block fits scoped VMEM at (T={T}, S={S}, "
-        f"H={H}, {cdtype}); the dispatch gate (fused_cross_fits) should "
-        "have kept this shape on the flash/XLA path"
-    )
+    if rb is None:
+        raise RuntimeError(
+            f"no cross-attention row block fits scoped VMEM at (T={T}, "
+            f"S={S}, H={H}, {cdtype}); the dispatch gate (fused_cross_fits) "
+            "should have kept this shape on the flash/XLA path"
+        )
     pad_rows = (-B) % rb
     if pad_rows:
         x = _pad_to(x, 0, rb)

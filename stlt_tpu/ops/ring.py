@@ -28,12 +28,16 @@ so per-chunk dq/dk/dv contributions sum exactly); dk/dv accumulators travel
 the ring WITH their chunk and arrive home after C steps.
 
 Causal + key-padding semantics match the reference
-(``utils/model_utils.py:4-7``): the caller passes the full additive bias
-``[B, 1, T, S]``; each device keeps its query rows' bias and slices the
-column block matching the K/V chunk it currently holds. Attention-probability
-dropout composes: the caller's keep-mask columns are sliced the same way, the
-denominator accumulates undropped probabilities (PyTorch drops after
-normalization).
+(``utils/model_utils.py:4-7``). Two bias forms: a dense ``[B, 1, T, S]``
+additive bias (each device keeps its query rows' bias and slices the column
+block matching the K/V chunk it currently holds — O(T²/C) per device), or —
+the production long-context form — ``kv_lengths`` [B] + ``causal``, where
+each ring step GENERATES its bias tile in-kernel from the lengths and the
+step's global [row, col] offsets, so no sequence²-sized buffer exists
+anywhere under sequence parallelism (round 4; the SP counterpart of the
+round-3 single-device lengths mode). Attention-probability dropout composes:
+the caller's keep-mask columns are sliced the same way, the denominator
+accumulates undropped probabilities (PyTorch drops after normalization).
 
 Numerics: f32 logits/softmax state regardless of compute dtype; masked-out
 terms use finite large-negative bias so ``exp`` underflows to 0 without
@@ -64,6 +68,12 @@ class _RingStatics(NamedTuple):
     dropout_rate: float
     dropout_mode: str  # "none" | "mask" | "seed"
     model_size: int = 1
+    # Lengths mode (round 4): the caller passes per-clip kv lengths instead
+    # of a dense bias; each ring step generates its causal+padding bias tile
+    # IN-KERNEL from the lengths plus this step's global [row, col] offsets —
+    # no O(T²/C) bias slice ships to (or lives on) any device.
+    causal: bool = False
+    lengths: bool = False
 
 
 def _device_seed(statics: _RingStatics, seed):
@@ -96,9 +106,12 @@ def _chunk_cols(arr, chunk, s):
 
 
 def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows,
-                  seed):
+                  seed, kv_len=None):
     """Per-device forward. q: [b, t, n, d]; k0/v0: [b, s, n, d] (home chunk);
-    bias_rows: [b, 1, t, S]; mask_rows: [b, n|1, t, S] or None; seed: uint32
+    bias_rows: [b, 1, t, S] (dense mode) or None (lengths mode, with
+    ``kv_len`` [b] int32 — the kernels generate each step's bias tile from
+    the lengths + this device's global row offset + the held chunk's global
+    column offset); mask_rows: [b, n|1, t, S] or None; seed: uint32
     scalar or None (in-kernel hashed dropout — the sequence-parallel
     counterpart of the single-device seed path: no O(T²/C) mask per device).
     Returns (out [b, t, n, d], lse [b, n, t])."""
@@ -117,10 +130,12 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows,
     qt = q.transpose(0, 2, 1, 3)  # [b, n, t, d]
     perm = [(i, (i + 1) % C) for i in range(C)]
 
+    row0 = idx * t
+
     def step(j, carry):
         k_c, v_c, o_r, lse_r = carry
         chunk = (idx - j) % C
-        cols_b = _chunk_cols(bias_rows, chunk, s)
+        cols_b = None if statics.lengths else _chunk_cols(bias_rows, chunk, s)
         cols_m = (
             _chunk_cols(mask_rows, chunk, s)
             if statics.dropout_mode == "mask"
@@ -136,6 +151,9 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows,
             dropout_scale,
             seed=_step_seed(seed_dev, chunk) if seed_dev is not None else None,
             dropout_rate=statics.dropout_rate,
+            causal=statics.causal and statics.lengths,
+            kv_lengths=kv_len if statics.lengths else None,
+            offsets=jnp.stack([row0, chunk * s]) if statics.lengths else None,
         )
         # Normalized-segment merge (exact online softmax across chunks).
         lse_new = jnp.logaddexp(lse_r, lse_j)
@@ -160,19 +178,24 @@ def _ring_forward(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_attn(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows, seed):
-    return _ring_forward(statics, q, k0, v0, bias_rows, mask_rows, seed)[0]
+def _ring_attn(statics: _RingStatics, q, k0, v0, bias_rows, mask_rows, seed,
+               kv_len):
+    return _ring_forward(
+        statics, q, k0, v0, bias_rows, mask_rows, seed, kv_len
+    )[0]
 
 
-def _ring_attn_fwd(statics, q, k0, v0, bias_rows, mask_rows, seed):
-    out, lse = _ring_forward(statics, q, k0, v0, bias_rows, mask_rows, seed)
+def _ring_attn_fwd(statics, q, k0, v0, bias_rows, mask_rows, seed, kv_len):
+    out, lse = _ring_forward(
+        statics, q, k0, v0, bias_rows, mask_rows, seed, kv_len
+    )
     # Residuals are the device's OWN shards only — every entry is 1/C of the
     # global sequence. No rotated chunk is saved.
-    return out, (q, k0, v0, bias_rows, mask_rows, seed, out, lse)
+    return out, (q, k0, v0, bias_rows, mask_rows, seed, kv_len, out, lse)
 
 
 def _ring_attn_bwd(statics, res, g):
-    q, k0, v0, bias_rows, mask_rows, seed, out, lse = res
+    q, k0, v0, bias_rows, mask_rows, seed, kv_len, out, lse = res
     b, t, n, d = q.shape
     s = k0.shape[1]
     C = statics.num_chunks
@@ -190,10 +213,12 @@ def _ring_attn_bwd(statics, res, g):
     gt = g.transpose(0, 2, 1, 3)
     out_t = out.transpose(0, 2, 1, 3)
 
+    row0 = idx * t
+
     def step(j, carry):
         k_c, v_c, dk_c, dv_c, dq_acc = carry
         chunk = (idx - j) % C
-        cols_b = _chunk_cols(bias_rows, chunk, s)
+        cols_b = None if statics.lengths else _chunk_cols(bias_rows, chunk, s)
         cols_m = (
             _chunk_cols(mask_rows, chunk, s)
             if statics.dropout_mode == "mask"
@@ -215,6 +240,9 @@ def _ring_attn_bwd(statics, res, g):
             dropout_scale,
             seed=_step_seed(seed_dev, chunk) if seed_dev is not None else None,
             dropout_rate=statics.dropout_rate,
+            causal=statics.causal and statics.lengths,
+            kv_lengths=kv_len if statics.lengths else None,
+            offsets=jnp.stack([row0, chunk * s]) if statics.lengths else None,
         )
         dq_acc = dq_acc + dq_j.astype(jnp.float32)
         dk_c = dk_c + dk_j.transpose(0, 2, 1, 3).astype(jnp.float32)
@@ -242,6 +270,7 @@ def _ring_attn_bwd(statics, res, g):
         None,
         None,
         None,
+        None,
     )
 
 
@@ -258,11 +287,26 @@ def ring_attention(
     dropout_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    kv_lengths: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Sequence-parallel self-attention. q/k/v: [B, T, N, D] (global view,
-    T sharded over the ``context`` mesh axis, N over ``model``); bias
-    broadcastable to [B, 1, T, S] (head-invariant — the causal+padding form
-    every model here uses). Returns [B, T, N, D] with the same shardings.
+    T sharded over the ``context`` mesh axis, N over ``model``). The
+    attention bias comes in ONE of two forms:
+
+    - ``bias`` broadcastable to [B, 1, T, S] (head-invariant — the
+      causal+padding form every model here uses): each device keeps its
+      query rows' slice and slices the column block matching the K/V chunk
+      it currently holds — an O(T²/C) buffer per device;
+    - ``kv_lengths`` [B] int32 (+ ``causal``), matching the single-device
+      blockwise kernels (reference mask semantics utils/model_utils.py:4-7:
+      key s of clip b attends iff s < kv_lengths[b], and s <= t when
+      causal): the bias tile is GENERATED inside each ring step's kernel
+      from the lengths and the step's global [row, col] offsets — no
+      sequence²-sized buffer exists anywhere under sequence parallelism
+      (the production long-context train path).
+
+    Returns [B, T, N, D] with the same shardings.
 
     Dropout: pass at most one of ``dropout_mask`` (a global [B, N, T, S]
     keep mask, sharded by the in_specs — exact-stream tests) or
@@ -270,15 +314,20 @@ def ring_attention(
     folded with every mesh coordinate and the ring-step chunk id, so no
     O(T²/C) mask buffer exists per device — the production train path)."""
     assert dropout_mask is None or dropout_seed is None
+    assert bias is None or kv_lengths is None, (
+        "pass a dense bias OR kv_lengths (+ causal), not both"
+    )
     B, T, N, D = q.shape
     C = mesh.shape[CONTEXT_AXIS]
     assert T % C == 0, f"frame axis {T} must divide context axis {C}"
-    if bias is None:
-        bias = jnp.zeros((1, 1, T, T), jnp.float32)
-    while bias.ndim < 4:
-        bias = bias[None]
-    assert bias.shape[1] == 1, "ring attention expects head-invariant bias"
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, 1, T, T))
+    lengths_mode = kv_lengths is not None
+    if not lengths_mode:
+        if bias is None:
+            bias = jnp.zeros((1, 1, T, T), jnp.float32)
+        while bias.ndim < 4:
+            bias = bias[None]
+        assert bias.shape[1] == 1, "ring attention expects head-invariant bias"
+        bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, 1, T, T))
 
     qkv_spec = P(DATA_AXIS, CONTEXT_AXIS, MODEL_AXIS, None)
     bias_spec = P(DATA_AXIS, None, CONTEXT_AXIS, None)
@@ -296,34 +345,42 @@ def ring_attention(
         dropout_rate=float(dropout_rate),
         dropout_mode=mode,
         model_size=mesh.shape[MODEL_AXIS],
+        causal=bool(causal),
+        lengths=lengths_mode,
     )
+
+    # One operand slot carries the bias form: the dense rows slice (dense
+    # mode) or the [B] lengths vector (lengths mode, batch-sharded like the
+    # clips it describes).
+    operands = [q, k, v]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    if lengths_mode:
+        operands.append(jnp.asarray(kv_lengths, jnp.int32))
+        in_specs.append(P(DATA_AXIS))
+    else:
+        operands.append(bias)
+        in_specs.append(bias_spec)
     if mode == "mask":
-        fn = jax.shard_map(
-            lambda q_, k_, v_, b_, m_: _ring_attn(
-                statics, q_, k_, v_, b_, m_, None
-            ),
-            mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec),
-            out_specs=qkv_spec,
-            check_vma=False,
+        operands.append(dropout_mask)
+        in_specs.append(mask_spec)
+    elif mode == "seed":
+        operands.append(jnp.asarray(dropout_seed, jnp.uint32))
+        in_specs.append(P())
+
+    def shard_fn(q_, k_, v_, b_, *extra):
+        mask_ = extra[0] if mode == "mask" else None
+        seed_ = extra[0] if mode == "seed" else None
+        bias_rows = None if lengths_mode else b_
+        kv_len = b_ if lengths_mode else None
+        return _ring_attn(
+            statics, q_, k_, v_, bias_rows, mask_, seed_, kv_len
         )
-        return fn(q, k, v, bias, dropout_mask)
-    if mode == "seed":
-        fn = jax.shard_map(
-            lambda q_, k_, v_, b_, s_: _ring_attn(
-                statics, q_, k_, v_, b_, None, s_
-            ),
-            mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, P()),
-            out_specs=qkv_spec,
-            check_vma=False,
-        )
-        return fn(q, k, v, bias, jnp.asarray(dropout_seed, jnp.uint32))
+
     fn = jax.shard_map(
-        lambda q_, k_, v_, b_: _ring_attn(statics, q_, k_, v_, b_, None, None),
+        shard_fn,
         mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+        in_specs=tuple(in_specs),
         out_specs=qkv_spec,
         check_vma=False,
     )
-    return fn(q, k, v, bias)
+    return fn(*operands)

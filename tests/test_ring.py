@@ -230,3 +230,105 @@ def test_ring_seed_dropout_matches_reconstructed_mask():
     gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("context", [2, 4])
+def test_ring_lengths_matches_dense_bias(context):
+    """Lengths mode (round 4): kv_lengths + causal must equal the dense
+    causal+key-padding bias — with NO [B, 1, T, S] buffer anywhere (each
+    ring step generates its tile in-kernel from the lengths + offsets)."""
+    mesh = make_mesh(model_parallel=2, context_parallel=context)
+    rng = np.random.default_rng(4)
+    B, T, N, D = 4, 16, 4, 8
+    q, k, v = _qkv(rng, B, T, N, D)
+    lengths = jnp.asarray([16, 13, 7, 1], jnp.int32)  # tail-contiguous pads
+    pad = np.zeros((B, T), bool)
+    for b, L in enumerate(np.asarray(lengths)):
+        pad[b, L:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+
+    got = jax.jit(
+        lambda *a: ring_attention(
+            *a, None, mesh, kv_lengths=lengths, causal=True
+        )
+    )(q, k, v)
+    want = dot_product_attention_reference(q, k, v, bias)
+    # Padded-out query rows (t >= lengths[b]) still see their causal prefix
+    # (key padding only masks COLUMNS) so every row matches, not just valid
+    # ones.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_ring_lengths_gradients_match_reference():
+    mesh = make_mesh(model_parallel=1, context_parallel=2)
+    rng = np.random.default_rng(5)
+    B, T, N, D = 4, 8, 2, 8
+    q, k, v = _qkv(rng, B, T, N, D)
+    lengths = jnp.asarray([8, 6, 3, 1], jnp.int32)
+    pad = np.zeros((B, T), bool)
+    for b, L in enumerate(np.asarray(lengths)):
+        pad[b, L:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+
+    gk = jax.jit(
+        jax.grad(
+            lambda *a: ring_attention(
+                *a, None, mesh, kv_lengths=lengths, causal=True
+            ).sum(),
+            (0, 1, 2),
+        )
+    )(q, k, v)
+    gr = jax.grad(
+        lambda *a: dot_product_attention_reference(*a, bias).sum(), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_ring_lengths_with_seed_dropout_matches_reconstructed_mask():
+    """The FULL production SP train path: lengths-generated bias + in-kernel
+    hashed dropout, forward and gradients vs the XLA reference fed the
+    reconstructed global keep mask and the equivalent dense bias."""
+    mesh = make_mesh(model_parallel=2, context_parallel=2)
+    DP = mesh.shape["data"]
+    rng = np.random.default_rng(8)
+    B, T, N, D, rate = 4, 64, 4, 8, 0.25
+    q, k, v = _qkv(rng, B, T, N, D)
+    lengths = jnp.asarray([64, 50, 33, 9], jnp.int32)
+    pad = np.zeros((B, T), bool)
+    for b, L in enumerate(np.asarray(lengths)):
+        pad[b, L:] = True
+    bias = masks.causal_bias(T) + masks.key_padding_bias(jnp.asarray(pad))
+    seed = jnp.uint32(0xFEED)
+    keep = _expected_ring_seed_mask(seed, (DP, 2, 2), B, N, T, rate)
+
+    def loss_ring(a, b, c):
+        return ring_attention(
+            a, b, c, None, mesh, dropout_seed=seed, dropout_rate=rate,
+            kv_lengths=lengths, causal=True,
+        ).sum()
+
+    def loss_ref(a, b, c):
+        return dot_product_attention_reference(a, b, c, bias, keep, rate).sum()
+
+    got = jax.jit(
+        lambda *a: ring_attention(
+            *a, None, mesh, dropout_seed=seed, dropout_rate=rate,
+            kv_lengths=lengths, causal=True,
+        )
+    )(q, k, v)
+    want = dot_product_attention_reference(q, k, v, bias, keep, rate)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+
+    gk = jax.jit(jax.grad(loss_ring, (0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        )

@@ -53,8 +53,8 @@ def entry_argv(entry: dict) -> list:
             argv += [f"--{key}", str(entry[key])]
     for key, value in entry.get("extra_args", {}).items():
         argv += [f"--{key}", str(value)]
-    if "batch_size" in entry:
-        argv += ["--batch_size", str(entry["batch_size"])]
+    # batch_size comes from extra_args only — a top-level key would emit a
+    # duplicate flag that argparse silently last-wins on (ADVICE r3).
     return argv
 
 
