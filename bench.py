@@ -412,11 +412,89 @@ def bench_cacnf_train():
     }
 
 
+def bench_cacnf_train_device():
+    """CACNF DEVICE-SIDE train step at full model scale (R3D-50 @ 112px,
+    32 frames + layout + fusion, bf16 + pallas, dropout on): synthetic
+    device-resident batch, donated jit step, NO loader — the measured
+    chip-side ceiling that the real CLI's single-core host JPEG decode
+    (bench_cacnf_train) is bounded by. Replaces the round-3 '~300-450
+    clips/s' arithmetic estimate with a measurement (VERDICT r3 #5)."""
+    from stlt_tpu.configs import MultimodalModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.training.criterion import make_criterion
+    from stlt_tpu.training.loop import create_train_state, make_train_step
+    from stlt_tpu.training.optimizer import make_optimizer
+
+    config = MultimodalModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        num_appearance_layers=4,
+        num_fusion_layers=4,
+        appearance_num_frames=32,
+        resnet_model_path="unused",
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["cacnf"](config)
+    bs = 32  # the reference multimodal train batch size (parser.py:101)
+    rng = np.random.default_rng(0)
+    batch = _synthetic_layout_batch(bs, 17, 8, 4)
+    batch["labels"] = batch["labels"].astype(np.int32)
+    batch["valid"] = np.ones(bs, bool)
+    # uint8 frames + device normalize: what the real loader ships.
+    batch["video_frames"] = rng.integers(
+        0, 255, (bs, 32, 112, 112, 3), dtype=np.uint8
+    )
+    batch = jax.device_put(batch)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    tx = make_optimizer(
+        params, learning_rate=1e-4, weight_decay=1e-3, clip_val=5.0,
+        num_warmup_steps=100, num_training_steps=1000,
+    )
+    state = jax.device_put(create_train_state(params, tx))
+    step = jax.jit(
+        make_train_step(model, tx, make_criterion("something")),
+        donate_argnums=(0,),
+    )
+    seed = np.uint32(1)
+
+    state, loss = step(state, batch, seed)  # compile + warm
+    _ = np.asarray(loss)
+
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            state, loss = step(state, batch, seed)
+        _ = np.asarray(loss)
+        return time.perf_counter() - t0
+
+    timed(1)
+    n_short, n_long, reps = 2, 10, 3
+    t_short = min(timed(n_short) for _ in range(reps))
+    t_long = min(timed(n_long) for _ in range(reps))
+    per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    clips = bs / per_step
+    return {
+        "metric": f"cacnf_train_device_clips_per_sec_chip (device-resident batch, bf16+pallas, dropout on, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
 WORKLOADS = {
     "stlt_eval": bench_stlt_eval,
     "stlt_train": bench_stlt_train,
     "cacnf": bench_cacnf,
     "cacnf_train": bench_cacnf_train,
+    "cacnf_train_device": bench_cacnf_train_device,
     "long_context": bench_long_context,
     "long_context_512": bench_long_context_512,
     "long_context_train": bench_long_context_train,
