@@ -163,6 +163,7 @@ class MultiHeadAttention(nn.Module):
         *,
         deterministic: bool = True,
         kv_lengths: Optional[jnp.ndarray] = None,
+        rows_live: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         H, N = self.hidden_size, self.num_heads
         assert H % N == 0
@@ -256,7 +257,7 @@ class MultiHeadAttention(nn.Module):
             bqkv = jnp.concatenate([bq, bk, bv])
             return fused_proj_attention(
                 query.astype(self.dtype), wqkv, bqkv, wo, bo, bias,
-                num_heads=N, compute_dtype=self.dtype,
+                num_heads=N, compute_dtype=self.dtype, rows_live=rows_live,
             )
 
         if (
@@ -308,7 +309,7 @@ class MultiHeadAttention(nn.Module):
             bqkv = jnp.concatenate([bq, bk, bv])
             return fused_proj_attention_train(
                 N, float(self.dropout_rate), query.astype(self.dtype),
-                wqkv, bqkv, wo, bo, bias, seed,
+                wqkv, bqkv, wo, bo, bias, seed, rows_live,
             )
 
         q = apply_dense(query, wq, bq).reshape(B, T, N, D)
@@ -407,6 +408,7 @@ class TransformerEncoderLayer(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,  # positional: nn.remat static_argnums=(3,)
         kv_lengths: Optional[jnp.ndarray] = None,
+        rows_live: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         attn_out = MultiHeadAttention(
             hidden_size=self.hidden_size,
@@ -417,7 +419,8 @@ class TransformerEncoderLayer(nn.Module):
             seq_shard=self.seq_shard,
             causal=self.causal,
             name="self_attn",
-        )(x, x, x, bias, deterministic=deterministic, kv_lengths=kv_lengths)
+        )(x, x, x, bias, deterministic=deterministic, kv_lengths=kv_lengths,
+          rows_live=rows_live)
 
         H, FF = self.hidden_size, self.ff_size
         n1_scale, n1_bias = LayerNormParams(H, name="norm1")()
@@ -463,6 +466,7 @@ class TransformerEncoderLayer(nn.Module):
                 compute_dtype=self.dtype,
                 activation=self.activation,
                 gelu_approximate=jnp.dtype(self.dtype) == jnp.bfloat16,
+                rows_live=rows_live,
             )
 
         attn_out = nn.Dropout(rate=self.dropout_rate)(
@@ -511,10 +515,11 @@ class TransformerEncoder(nn.Module):
         *,
         deterministic: bool = True,
         kv_lengths: Optional[jnp.ndarray] = None,
+        rows_live: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         layer_cls = TransformerEncoderLayer
         if self.remat:
-            # args: (self, x, bias, deterministic, kv_lengths) —
+            # args: (self, x, bias, deterministic, kv_lengths, rows_live) —
             # deterministic (index 3) is the only static one
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
@@ -530,5 +535,5 @@ class TransformerEncoder(nn.Module):
                 seq_shard=self.seq_shard,
                 causal=self.causal,
                 name=f"layers_{i}",
-            )(x, bias, deterministic, kv_lengths)
+            )(x, bias, deterministic, kv_lengths, rows_live)
         return x

@@ -96,6 +96,20 @@ class SpatialTransformer(nn.Module):
                 masks.boxes_padding_mask(batch["categories"]).reshape(B * F, O)
             )
         )
+        # Pad-frame compaction: folded rows of PAD frames (frame_types == 0;
+        # tail-contiguous per clip) are dead downstream — their spatial-CLS
+        # outputs only ever feed the temporal attention as -1e9-masked keys
+        # whose softmax weight underflows to exactly 0 (and therefore carry
+        # exactly-zero cotangents in training). The fused kernels skip whole
+        # dead row blocks and write zeros (ops/fused_encoder). At realistic
+        # long-context fill (SSv2 clips average ~40-60 frames against a
+        # 256/512-frame table) most of the spatial stage — the measured
+        # bound at 512 frames (docs/PERF_NOTES.md) — is dead rows.
+        from stlt_tpu.ops.fused_encoder import COMPACTION_ENABLED
+
+        rows_live = None
+        if cfg.use_pallas and COMPACTION_ENABLED:
+            rows_live = (batch["frame_types"] != 0).reshape(B * F)
         tokens = TransformerEncoder(
             num_layers=cfg.num_spatial_layers,
             hidden_size=cfg.hidden_size,
@@ -108,7 +122,7 @@ class SpatialTransformer(nn.Module):
             use_pallas=cfg.use_pallas,
             remat=cfg.remat,
             name="transformer",
-        )(tokens, pad_bias, deterministic=deterministic)
+        )(tokens, pad_bias, deterministic=deterministic, rows_live=rows_live)
         # Keep the frame-CLS token (slot 0) per frame: [B, F, H].
         return tokens[:, 0, :].reshape(B, F, H)
 

@@ -67,6 +67,17 @@ FUSED_PROJ_MAX_SEQ = 64
 FUSED_PROJ_ENABLED = os.environ.get("STLT_FUSED_PROJ", "1") != "0"
 FUSED_TAIL_ENABLED = os.environ.get("STLT_FUSED_TAIL", "1") != "0"
 FUSED_TRAIN_ENABLED = os.environ.get("STLT_FUSED_PROJ_TRAIN", "1") != "0"
+COMPACTION_ENABLED = os.environ.get("STLT_COMPACTION", "1") != "0"
+
+
+def _block_live(rows_live, pad_rows: int, rb: int) -> jnp.ndarray:
+    """[rows]-bool → per-row-block any-live flags, int32 [grid], for the
+    SMEM skip operand (rank-1 arrays ride whole in SMEM — sub-array blocks
+    are rejected by real-TPU lowering)."""
+    live = jnp.asarray(rows_live, jnp.int32)
+    if pad_rows:
+        live = jnp.pad(live, (0, pad_rows))
+    return jnp.max(live.reshape(-1, rb), axis=1)
 
 
 def _const_spec(shape):
@@ -96,6 +107,7 @@ def _fused_proj_attn_kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref, *rest,
     scale: float, num_heads: int, compute_dtype,
     dropout_scale: float = 0.0, prng: Optional[tuple] = None,
+    has_live: bool = False,
 ):
     """One program: rb batch rows, all heads. x_ref: [rb, T, H];
     wqkv_ref: [H, 3H]; bias_ref: [rb, 1, T, S]; o_ref: [rb, T, H].
@@ -103,66 +115,86 @@ def _fused_proj_attn_kernel(
     keep bits are hashed in place per (b, head, t, s) — the same lowbias32
     stream as ops/flash.py, so the XLA fallback's hash_keep_mask
     reconstructs identical bits (s_total is the UNPADDED key length; padded
-    columns collide into rows whose probability is already 0)."""
+    columns collide into rows whose probability is already 0).
+    With ``has_live`` a [grid] int32 SMEM vector precedes (seed_ref and) the
+    output: per-row-block any-live flags (pad-frame compaction). Dead blocks
+    skip ALL compute and write zeros — finite, and exactly what downstream
+    reads, since pad-frame rows only ever enter later attention through
+    -1e9-masked keys whose softmax weight underflows to exactly 0."""
+    rest = list(rest)
+    live_ref = rest.pop(0) if has_live else None
     if prng is not None:
         seed_ref, o_ref = rest
     else:
         (o_ref,) = rest
     rb, t, h = x_ref.shape
     n, d = num_heads, h // num_heads
-    i_row = pl.program_id(0)
-    # Mosaic reshape legality: every rank-changing reshape here runs on an
-    # f32 vector (sublane tile 8) with all merged/split sublane dims
-    # multiples of 8 — the launcher enforces t % 8 == 0. bf16 reshapes need
-    # 16-multiples and failed real-TPU lowering ("unsupported shape cast");
-    # the bf16<->f32 round trips below are exact, so numerics are unchanged.
-    x = x_ref[...].astype(jnp.float32).reshape(rb * t, h)
-    # Projection: compute-dtype operands on the MXU (bf16 rate), f32
-    # accumulation, rounded to the compute dtype — bit-matching the unfused
-    # nn.Dense(dtype=bf16) output.
-    qkv = jax.lax.dot_general(
-        x.astype(compute_dtype), wqkv_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0].astype(jnp.float32)
-    qkv = qkv.astype(compute_dtype).astype(jnp.float32)
-    bias = bias_ref[:, 0].astype(jnp.float32)  # [rb, T or 1, S]
-    outs = []
-    for i in range(n):
-        q_h = qkv[:, i * d:(i + 1) * d].reshape(rb, t, d)
-        k_h = qkv[:, h + i * d:h + (i + 1) * d].reshape(rb, t, d)
-        v_h = qkv[:, 2 * h + i * d:2 * h + (i + 1) * d].reshape(rb, t, d)
-        logits = jax.lax.dot_general(
-            q_h, k_h,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+    i_row = pl.program_id(0)  # hoisted: no pl.program_id under pl.when
+
+    def _body():
+        # Mosaic reshape legality: every rank-changing reshape here runs on
+        # an f32 vector (sublane tile 8) with all merged/split sublane dims
+        # multiples of 8 — the launcher enforces t % 8 == 0. bf16 reshapes
+        # need 16-multiples and failed real-TPU lowering ("unsupported shape
+        # cast"); the bf16<->f32 round trips below are exact, so numerics
+        # are unchanged.
+        x = x_ref[...].astype(jnp.float32).reshape(rb * t, h)
+        # Projection: compute-dtype operands on the MXU (bf16 rate), f32
+        # accumulation, rounded to the compute dtype — bit-matching the
+        # unfused nn.Dense(dtype=bf16) output.
+        qkv = jax.lax.dot_general(
+            x.astype(compute_dtype), wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale + bias
-        logits -= jnp.max(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(logits)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        if prng is not None:
-            s_total, thresh = prng
-            keep = _keep_block(
-                seed_ref[0], i_row * rb, i, 0, 0, (rb, t, t),
-                n, s_total, thresh,
-            )
-            probs = probs * (keep * dropout_scale)
-        outs.append(
-            jax.lax.dot_general(
-                probs, v_h,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        ) + bqkv_ref[0].astype(jnp.float32)
+        qkv = qkv.astype(compute_dtype).astype(jnp.float32)
+        bias = bias_ref[:, 0].astype(jnp.float32)  # [rb, T or 1, S]
+        outs = []
+        for i in range(n):
+            q_h = qkv[:, i * d:(i + 1) * d].reshape(rb, t, d)
+            k_h = qkv[:, h + i * d:h + (i + 1) * d].reshape(rb, t, d)
+            v_h = qkv[:, 2 * h + i * d:2 * h + (i + 1) * d].reshape(rb, t, d)
+            logits = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+            ) * scale + bias
+            logits -= jnp.max(logits, axis=-1, keepdims=True)
+            probs = jnp.exp(logits)
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            if prng is not None:
+                s_total, thresh = prng
+                keep = _keep_block(
+                    seed_ref[0], i_row * rb, i, 0, 0, (rb, t, t),
+                    n, s_total, thresh,
+                )
+                probs = probs * (keep * dropout_scale)
+            outs.append(
+                jax.lax.dot_general(
+                    probs, v_h,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
-    attn = jnp.concatenate(outs, axis=-1).reshape(rb * t, h)
-    # Round to compute dtype (the round-2 kernel wrote its output in the
-    # compute dtype before XLA's out-projection — keep that numerics).
-    y = jax.lax.dot_general(
-        attn.astype(compute_dtype), wo_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0].astype(jnp.float32)
-    o_ref[...] = y.reshape(rb, t, h).astype(o_ref.dtype)
+        attn = jnp.concatenate(outs, axis=-1).reshape(rb * t, h)
+        # Round to compute dtype (the round-2 kernel wrote its output in the
+        # compute dtype before XLA's out-projection — keep that numerics).
+        y = jax.lax.dot_general(
+            attn.astype(compute_dtype), wo_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[0].astype(jnp.float32)
+        o_ref[...] = y.reshape(rb, t, h).astype(o_ref.dtype)
+
+    if live_ref is None:
+        _body()
+    else:
+        block_live = live_ref[i_row] != 0
+        pl.when(block_live)(_body)
+
+        @pl.when(jnp.logical_not(block_live))
+        def _dead():
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
 
 def _pick_fused_row_block(rows: int, t: int, h: int, n: int, itemsize: int) -> int:
@@ -255,11 +287,17 @@ def fused_proj_attention(
     num_heads: int,
     compute_dtype,
     row_block: Optional[int] = None,
+    rows_live: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention sublayer in one kernel. x: [B, T, H]; wqkv: [H, 3H]
     (q/k/v kernels concatenated on the output axis); bias broadcastable to
     [B, 1, T, T] (head-invariant — every encoder bias here is). Returns
-    y = out_proj(attention(x)) as [B, T, H] in x.dtype."""
+    y = out_proj(attention(x)) as [B, T, H] in x.dtype.
+
+    ``rows_live``: optional [B] bool — pad-frame compaction. Row blocks with
+    no live row skip all compute and return zeros (the spatial stage's
+    folded pad-frame rows are dead downstream: their only consumers are
+    -1e9-masked attention keys)."""
     B, T0, H = x.shape
     assert H % num_heads == 0
     D = H // num_heads
@@ -308,36 +346,43 @@ def fused_proj_attention(
     Bp = B + pad_rows
     grid = (Bp // rb,)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_proj_attn_kernel,
-            scale=scale, num_heads=num_heads,
-            compute_dtype=jnp.dtype(compute_dtype),
+    in_specs = [
+        pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        _const_spec((H, 3 * H)),
+        _const_spec((1, 3 * H)),
+        _const_spec((H, H)),
+        _const_spec((1, H)),
+        pl.BlockSpec(
+            (rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _const_spec((H, 3 * H)),
-            _const_spec((1, 3 * H)),
-            _const_spec((H, H)),
-            _const_spec((1, H)),
-            pl.BlockSpec(
-                (rb, 1, T, T), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
-        interpret=jax.default_backend() == "cpu",
-    )(
+    ]
+    operands = [
         x,
         wqkv.astype(compute_dtype),
         jnp.reshape(bqkv, (1, 3 * H)).astype(compute_dtype),
         wo.astype(compute_dtype),
         jnp.reshape(bo, (1, H)).astype(compute_dtype),
         bias_arr,
-    )
+    ]
+    has_live = rows_live is not None
+    if has_live:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(_block_live(rows_live, pad_rows, rb))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_proj_attn_kernel,
+            scale=scale, num_heads=num_heads,
+            compute_dtype=jnp.dtype(compute_dtype), has_live=has_live,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rb, T, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
     return out[:B, :T0]
 
 
@@ -362,67 +407,83 @@ def fused_proj_attention(
 
 def _fused_tail_kernel(
     x_ref, y_ref, n1s_ref, n1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    n2s_ref, n2b_ref, o_ref, u_scr, acc_scr,
-    *, eps: float, compute_dtype, gelu_approximate: bool, activation: str,
-    ff_chunks: int,
+    n2s_ref, n2b_ref, *rest,
+    eps: float, compute_dtype, gelu_approximate: bool, activation: str,
+    ff_chunks: int, has_live: bool = False,
 ):
+    rest = list(rest)
+    live_ref = rest.pop(0) if has_live else None
+    o_ref, u_scr, acc_scr = rest
     rb, t, h = x_ref.shape
+    i_row = pl.program_id(0)  # hoisted: no pl.program_id under pl.when
     c = pl.program_id(1)
+    live = live_ref[i_row] != 0 if live_ref is not None else None
 
-    @pl.when(c == 0)
-    def _compute_u():
-        # Residual add in the compute dtype (bit-matching the unfused bf16
-        # add), then flax-LayerNorm in f32. Reshape discipline: rank changes
-        # happen on f32 vectors only (sublane tile 8; launcher pads t to 8).
-        r = x_ref[...].astype(compute_dtype) + y_ref[...].astype(compute_dtype)
-        r32 = r.astype(jnp.float32).reshape(rb * t, h)
-        mu = jnp.mean(r32, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            0.0, jnp.mean(r32 * r32, axis=-1, keepdims=True) - mu * mu
+    def _body():
+        @pl.when(c == 0)
+        def _compute_u():
+            # Residual add in the compute dtype (bit-matching the unfused
+            # bf16 add), then flax-LayerNorm in f32. Reshape discipline: rank
+            # changes happen on f32 vectors only (sublane tile 8; launcher
+            # pads t to 8).
+            r = x_ref[...].astype(compute_dtype) + y_ref[...].astype(compute_dtype)
+            r32 = r.astype(jnp.float32).reshape(rb * t, h)
+            mu = jnp.mean(r32, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                0.0, jnp.mean(r32 * r32, axis=-1, keepdims=True) - mu * mu
+            )
+            mul = jax.lax.rsqrt(var + eps) * n1s_ref[0].astype(jnp.float32)
+            u32 = (r32 - mu) * mul + n1b_ref[0].astype(jnp.float32)
+            u_scr[...] = u32.astype(compute_dtype)
+
+        u = u_scr[...]
+        h1 = jax.lax.dot_general(
+            u, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0].astype(jnp.float32)
+        h1 = h1.astype(compute_dtype)
+        if activation == "gelu":
+            h1 = jax.nn.gelu(h1, approximate=gelu_approximate)
+        elif activation == "relu":
+            h1 = jax.nn.relu(h1)
+        else:
+            raise ValueError(activation)
+        partial = jax.lax.dot_general(
+            h1, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        mul = jax.lax.rsqrt(var + eps) * n1s_ref[0].astype(jnp.float32)
-        u32 = (r32 - mu) * mul + n1b_ref[0].astype(jnp.float32)
-        u_scr[...] = u32.astype(compute_dtype)
 
-    u = u_scr[...]
-    h1 = jax.lax.dot_general(
-        u, w1_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0].astype(jnp.float32)
-    h1 = h1.astype(compute_dtype)
-    if activation == "gelu":
-        h1 = jax.nn.gelu(h1, approximate=gelu_approximate)
-    elif activation == "relu":
-        h1 = jax.nn.relu(h1)
+        @pl.when(c == 0)
+        def _init_acc():
+            acc_scr[...] = partial
+
+        @pl.when(c > 0)
+        def _add_acc():
+            acc_scr[...] = acc_scr[...] + partial
+
+        @pl.when(c == ff_chunks - 1)
+        def _finish():
+            h2 = (acc_scr[...] + b2_ref[0].astype(jnp.float32)).astype(compute_dtype)
+            r2 = u_scr[...] + h2  # compute-dtype residual, as unfused
+            r232 = r2.astype(jnp.float32)
+            mu2 = jnp.mean(r232, axis=-1, keepdims=True)
+            var2 = jnp.maximum(
+                0.0, jnp.mean(r232 * r232, axis=-1, keepdims=True) - mu2 * mu2
+            )
+            mul2 = jax.lax.rsqrt(var2 + eps) * n2s_ref[0].astype(jnp.float32)
+            y32 = (r232 - mu2) * mul2 + n2b_ref[0].astype(jnp.float32)
+            o_ref[...] = y32.reshape(rb, t, h).astype(o_ref.dtype)
+
+    if live is None:
+        _body()
     else:
-        raise ValueError(activation)
-    partial = jax.lax.dot_general(
-        h1, w2_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        pl.when(live)(_body)
 
-    @pl.when(c == 0)
-    def _init_acc():
-        acc_scr[...] = partial
-
-    @pl.when(c > 0)
-    def _add_acc():
-        acc_scr[...] = acc_scr[...] + partial
-
-    @pl.when(c == ff_chunks - 1)
-    def _finish():
-        h2 = (acc_scr[...] + b2_ref[0].astype(jnp.float32)).astype(compute_dtype)
-        r2 = u_scr[...] + h2  # compute-dtype residual, as unfused
-        r232 = r2.astype(jnp.float32)
-        mu2 = jnp.mean(r232, axis=-1, keepdims=True)
-        var2 = jnp.maximum(
-            0.0, jnp.mean(r232 * r232, axis=-1, keepdims=True) - mu2 * mu2
-        )
-        mul2 = jax.lax.rsqrt(var2 + eps) * n2s_ref[0].astype(jnp.float32)
-        y32 = (r232 - mu2) * mul2 + n2b_ref[0].astype(jnp.float32)
-        o_ref[...] = y32.reshape(rb, t, h).astype(o_ref.dtype)
+        @pl.when(jnp.logical_not(live) & (c == ff_chunks - 1))
+        def _dead():
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
 
 def _pick_tail_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
@@ -479,10 +540,14 @@ def fused_layer_tail(
     compute_dtype,
     activation: str = "gelu",
     gelu_approximate: bool = False,
+    rows_live: Optional[jnp.ndarray] = None,
+    blocks: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """norm2(u + FFN(u)) for u = norm1(x + attn_out), in one kernel.
     x/attn_out: [B, T, H]; w1: [H, FF]; w2: [FF, H]. Returns [B, T, H] in
-    x.dtype. Eval path only (no dropout, no backward)."""
+    x.dtype. Eval path only (no dropout, no backward). ``rows_live``:
+    optional [B] bool — dead row blocks skip the FFN entirely and write
+    zeros (pad-frame compaction; see fused_proj_attention)."""
     B, T0, H = x.shape
     FF = w1.shape[1]
     cdtype = jnp.dtype(compute_dtype)
@@ -495,7 +560,7 @@ def fused_layer_tail(
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
         attn_out = jnp.pad(attn_out, ((0, 0), (0, pad_t), (0, 0)))
 
-    blocks = _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
+    blocks = blocks or _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
     if blocks is None:
         raise RuntimeError(
             "no tail block configuration fits scoped VMEM at "
@@ -524,32 +589,17 @@ def fused_layer_tail(
             (1, width), lambda i, c: (0, 0), memory_space=pltpu.VMEM
         )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_tail_kernel,
-            eps=float(eps), compute_dtype=cdtype,
-            gelu_approximate=bool(gelu_approximate), activation=activation,
-            ff_chunks=FF // ffb,
-        ),
-        grid=grid,
-        in_specs=[
-            row_spec(),                                   # x
-            row_spec(),                                   # attn_out
-            vec_spec(H), vec_spec(H),                     # norm1 scale/bias
-            pl.BlockSpec((H, ffb), lambda i, c: (0, c), memory_space=pltpu.VMEM),
-            vec_spec(ffb, chunked=True),                  # b1
-            pl.BlockSpec((ffb, H), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
-            vec_spec(H),                                  # b2
-            vec_spec(H), vec_spec(H),                     # norm2 scale/bias
-        ],
-        out_specs=row_spec(),
-        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((rb * T, H), cdtype),
-            pltpu.VMEM((rb * T, H), jnp.float32),
-        ],
-        interpret=jax.default_backend() == "cpu",
-    )(
+    in_specs = [
+        row_spec(),                                   # x
+        row_spec(),                                   # attn_out
+        vec_spec(H), vec_spec(H),                     # norm1 scale/bias
+        pl.BlockSpec((H, ffb), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        vec_spec(ffb, chunked=True),                  # b1
+        pl.BlockSpec((ffb, H), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+        vec_spec(H),                                  # b2
+        vec_spec(H), vec_spec(H),                     # norm2 scale/bias
+    ]
+    operands = [
         x,
         attn_out,
         jnp.reshape(n1_scale, (1, H)).astype(jnp.float32),
@@ -560,7 +610,29 @@ def fused_layer_tail(
         jnp.reshape(b2, (1, H)).astype(jnp.float32),
         jnp.reshape(n2_scale, (1, H)).astype(jnp.float32),
         jnp.reshape(n2_bias, (1, H)).astype(jnp.float32),
-    )
+    ]
+    has_live = rows_live is not None
+    if has_live:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(_block_live(rows_live, pad_rows, rb))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_tail_kernel,
+            eps=float(eps), compute_dtype=cdtype,
+            gelu_approximate=bool(gelu_approximate), activation=activation,
+            ff_chunks=FF // ffb, has_live=has_live,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=row_spec(),
+        out_shape=jax.ShapeDtypeStruct((Bp, T, H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rb * T, H), cdtype),
+            pltpu.VMEM((rb * T, H), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
     return out[:B, :T0]
 
 
@@ -586,14 +658,65 @@ def _fused_proj_bwd_kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bias_ref, g_ref, *rest,
     scale: float, num_heads: int, compute_dtype,
     dropout_scale: float = 0.0, prng: Optional[tuple] = None,
+    has_live: bool = False,
 ):
+    rest = list(rest)
+    live_ref = rest.pop(0) if has_live else None
     if prng is not None:
         seed_ref, dqkv_ref, dwo_ref, dbo_ref = rest
     else:
         dqkv_ref, dwo_ref, dbo_ref = rest
     rb, t, h = x_ref.shape
     n, d = num_heads, h // num_heads
-    i_row = pl.program_id(0)
+    i_row = pl.program_id(0)  # hoisted: no pl.program_id under pl.when
+
+    if live_ref is not None:
+        # Pad-frame compaction: zero-init the grid-resident dW accumulators
+        # at step 0, then each LIVE block adds its partial (0 + x == x in
+        # f32, so the live-only path's numerics are unchanged); dead blocks
+        # emit zero dqkv — exactly the true cotangent, since dead rows'
+        # downstream consumers are -1e9-masked attention keys.
+        block_live = live_ref[i_row] != 0
+
+        @pl.when(i_row == 0)
+        def _init_acc():
+            dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+            dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+
+        def _live_body():
+            _fused_proj_bwd_body(
+                x_ref, wqkv_ref, bqkv_ref, wo_ref, bias_ref, g_ref,
+                None if prng is None else seed_ref,
+                dqkv_ref, dwo_ref, dbo_ref, i_row, accumulate_always=True,
+                scale=scale, num_heads=num_heads, compute_dtype=compute_dtype,
+                dropout_scale=dropout_scale, prng=prng,
+            )
+
+        pl.when(block_live)(_live_body)
+
+        @pl.when(jnp.logical_not(block_live))
+        def _dead():
+            dqkv_ref[...] = jnp.zeros(dqkv_ref.shape, dqkv_ref.dtype)
+
+        return
+
+    _fused_proj_bwd_body(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bias_ref, g_ref,
+        None if prng is None else seed_ref,
+        dqkv_ref, dwo_ref, dbo_ref, i_row, accumulate_always=False,
+        scale=scale, num_heads=num_heads, compute_dtype=compute_dtype,
+        dropout_scale=dropout_scale, prng=prng,
+    )
+
+
+def _fused_proj_bwd_body(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bias_ref, g_ref, seed_ref,
+    dqkv_ref, dwo_ref, dbo_ref, i_row, *, accumulate_always: bool,
+    scale: float, num_heads: int, compute_dtype,
+    dropout_scale: float, prng: Optional[tuple],
+):
+    rb, t, h = x_ref.shape
+    n, d = num_heads, h // num_heads
 
     x = x_ref[...].astype(jnp.float32).reshape(rb * t, h)
     qkv = jax.lax.dot_general(
@@ -679,15 +802,21 @@ def _fused_proj_bwd_kernel(
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [rb*t, 3h] f32
     dqkv_ref[...] = dqkv.reshape(rb, t, 3 * h).astype(dqkv_ref.dtype)
 
-    @pl.when(i_row == 0)
-    def _init():
-        dwo_ref[...] = dwo_partial
-        dbo_ref[...] = dbo_partial
-
-    @pl.when(i_row > 0)
-    def _accum():
+    if accumulate_always:
+        # compaction path: accumulators were zero-initialized at step 0 by
+        # the caller (possibly in a dead block), so every live block adds.
         dwo_ref[...] = dwo_ref[...] + dwo_partial
         dbo_ref[...] = dbo_ref[...] + dbo_partial
+    else:
+        @pl.when(i_row == 0)
+        def _init():
+            dwo_ref[...] = dwo_partial
+            dbo_ref[...] = dbo_partial
+
+        @pl.when(i_row > 0)
+        def _accum():
+            dwo_ref[...] = dwo_ref[...] + dwo_partial
+            dbo_ref[...] = dbo_ref[...] + dbo_partial
 
 
 def _train_operands(x, bias):
@@ -736,19 +865,21 @@ def _pick_bwd_row_block(rows: int, t: int, h: int, itemsize: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def fused_proj_attention_train(num_heads, dropout_rate, x, wqkv, bqkv,
-                               wo, bo, bias, seed):
+                               wo, bo, bias, seed, rows_live=None):
     """Differentiable fused projection+attention for the TRAIN path.
     x: [B, T, H] in the compute dtype; seed: uint32 scalar or None (no
     dropout). Same hashed keep-bit stream as ops/flash.py, so the XLA
-    fallback path stays bit-compatible."""
+    fallback path stays bit-compatible. ``rows_live``: optional [B] bool —
+    pad-frame compaction; dead row blocks skip fwd AND bwd compute (their
+    true cotangents are exactly zero: see fused_proj_attention)."""
     y, _ = _fused_proj_train_fwd(
-        num_heads, dropout_rate, x, wqkv, bqkv, wo, bo, bias, seed
+        num_heads, dropout_rate, x, wqkv, bqkv, wo, bo, bias, seed, rows_live
     )
     return y
 
 
 def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
-                          bias, seed):
+                          bias, seed, rows_live=None):
     B, T0, H = x.shape
     cdtype = x.dtype
     xp, bias_arr, T, _ = _train_operands(x, bias)
@@ -785,6 +916,12 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
         jnp.reshape(bo, (1, H)).astype(cdtype),
         bias_arr,
     ]
+    # Operand order must match the kernel's `rest` unpacking: live flags
+    # (if any) BEFORE the seed, both before the output.
+    has_live = rows_live is not None
+    if has_live:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(_block_live(rows_live, pad_rows, rb))
     prng = None
     if dropout_on:
         prng = (T0, _dropout_thresh(dropout_rate))
@@ -795,7 +932,7 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
         functools.partial(
             _fused_proj_attn_kernel,
             scale=scale, num_heads=num_heads, compute_dtype=jnp.dtype(cdtype),
-            dropout_scale=dropout_scale, prng=prng,
+            dropout_scale=dropout_scale, prng=prng, has_live=has_live,
         ),
         grid=(Bp // rb,),
         in_specs=in_specs,
@@ -805,11 +942,11 @@ def _fused_proj_train_fwd(num_heads, dropout_rate, x, wqkv, bqkv, wo, bo,
         out_shape=jax.ShapeDtypeStruct((Bp, T, H), cdtype),
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return out[:B, :T0], (x, wqkv, bqkv, wo, bias, seed)
+    return out[:B, :T0], (x, wqkv, bqkv, wo, bias, seed, rows_live)
 
 
 def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
-    x, wqkv, bqkv, wo, bias, seed = residuals
+    x, wqkv, bqkv, wo, bias, seed, rows_live = residuals
     B, T0, H = x.shape
     cdtype = x.dtype
     xp, bias_arr, T, pad_t = _train_operands(x, bias)
@@ -852,6 +989,10 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         bias_arr,
         gp.astype(cdtype),
     ]
+    has_live = rows_live is not None
+    if has_live:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(_block_live(rows_live, pad_rows, rb))
     prng = None
     if dropout_on:
         prng = (T0, _dropout_thresh(dropout_rate))
@@ -862,7 +1003,7 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         functools.partial(
             _fused_proj_bwd_kernel,
             scale=scale, num_heads=num_heads, compute_dtype=jnp.dtype(cdtype),
-            dropout_scale=dropout_scale, prng=prng,
+            dropout_scale=dropout_scale, prng=prng, has_live=has_live,
         ),
         grid=(Bp // rb,),
         in_specs=in_specs,
@@ -895,7 +1036,7 @@ def _fused_proj_train_bwd(num_heads, dropout_rate, residuals, g):
         preferred_element_type=jnp.float32,
     )
     dbqkv = jnp.sum(dqkv2.astype(jnp.float32), axis=0)
-    return (dx, dwqkv, dbqkv, dwo, dbo[0], None, None)
+    return (dx, dwqkv, dbqkv, dwo, dbo[0], None, None, None)
 
 
 fused_proj_attention_train.defvjp(_fused_proj_train_fwd, _fused_proj_train_bwd)

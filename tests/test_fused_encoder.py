@@ -591,3 +591,153 @@ def test_module_h_too_big_falls_back():
     assert "dot_general" in str(jaxpr.jaxpr)  # projections stayed in XLA
     out = mha.apply({"params": params}, x, x, x, None)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --- pad-frame compaction (rows_live dead-block skipping) --------------------
+
+
+def test_op_rows_live_matches_live_and_zeroes_dead():
+    """Forced 2-row blocks: block {2,3} (rows 4..7) is fully dead — the
+    kernel must skip it (writing zeros) while live rows match the no-live
+    call bit for bit (live blocks run the identical code path)."""
+    rng = np.random.default_rng(31)
+    B, T, H, N = 8, 8, 32, 4
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    rows_live = jnp.asarray([True, True, True, False, False, False, False, True])
+    got = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, None, num_heads=N, compute_dtype=jnp.float32,
+        row_block=2, rows_live=rows_live,
+    )
+    ref = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, None, num_heads=N, compute_dtype=jnp.float32,
+        row_block=2,
+    )
+    got, ref = np.asarray(got), np.asarray(ref)
+    # blocks (1,2) = rows 2..5: rows 2 and 7 are in part-live blocks -> computed
+    np.testing.assert_array_equal(got[:3], ref[:3])
+    np.testing.assert_array_equal(got[7:], ref[7:])
+    # rows 4..5 form a fully-dead block (rows 4,5) -> zeros; rows 3 shares a
+    # block with live row 2, row 6 with live row 7 -> computed
+    np.testing.assert_array_equal(got[4:6], np.zeros_like(got[4:6]))
+    np.testing.assert_array_equal(got[3], ref[3])
+    np.testing.assert_array_equal(got[6], ref[6])
+
+
+def test_op_rows_live_all_dead_is_all_zero():
+    rng = np.random.default_rng(32)
+    B, T, H, N = 5, 8, 32, 4
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    got = fused_proj_attention(
+        x, wqkv, bqkv, wo, bo, None, num_heads=N, compute_dtype=jnp.float32,
+        row_block=2, rows_live=jnp.zeros(B, bool),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.zeros((B, T, H), np.float32))
+
+
+def test_tail_rows_live_matches_live_and_zeroes_dead():
+    from stlt_tpu.ops.fused_encoder import fused_layer_tail
+
+    rng = np.random.default_rng(33)
+    B, T, H, FF = 8, 8, 32, 128
+    args = _rand_tail_inputs(rng, B, T, H, FF)
+    rows_live = jnp.asarray([True] * 2 + [False] * 4 + [True] * 2)
+    kw = dict(eps=1e-12, compute_dtype=jnp.float32, activation="gelu",
+              gelu_approximate=False, blocks=(2, FF // 2))
+    got = np.asarray(fused_layer_tail(*args, rows_live=rows_live, **kw))
+    ref = np.asarray(fused_layer_tail(*args, **kw))
+    np.testing.assert_array_equal(got[:2], ref[:2])
+    np.testing.assert_array_equal(got[6:], ref[6:])
+    np.testing.assert_array_equal(got[2:6], np.zeros_like(got[2:6]))
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+def test_train_op_rows_live_grads_match_zero_dead_cotangent(rate):
+    """Compaction backward: with cotangents that are zero on dead rows (the
+    model invariant — dead rows' downstream consumers are -1e9-masked
+    attention keys), grads with rows_live match the uncompacted op, and
+    dx on dead rows is exactly zero."""
+    from stlt_tpu.ops.fused_encoder import fused_proj_attention_train
+
+    rng = np.random.default_rng(34)
+    B, T, H, N = 8, 8, 32, 4
+    x, wqkv, bqkv, wo, bo = _rand_op_inputs(rng, B, T, H)
+    rows_live = jnp.asarray([True, True, False, False, False, False, True, True])
+    g_up = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    g_up = g_up * rows_live[:, None, None]  # zero cotangent on dead rows
+    seed = jnp.uint32(9) if rate else None
+
+    def run(live):
+        def f(x, wqkv, bqkv, wo, bo):
+            y = fused_proj_attention_train(
+                N, rate, x, wqkv, bqkv, wo, bo, None, seed, live
+            )
+            return jnp.sum(y * g_up)
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4))(
+            x, wqkv, bqkv, wo, bo
+        )
+        return val, grads
+
+    val_c, grads_c = run(rows_live)
+    val_p, grads_p = run(None)
+    # loss sums y*g over LIVE rows only (g dead = 0) -> identical
+    np.testing.assert_allclose(float(val_c), float(val_p), rtol=1e-6)
+    names = ["dx", "dwqkv", "dbqkv", "dwo", "dbo"]
+    for name, a, b in zip(names, grads_c, grads_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+    # dead-row dx is exactly zero on the compacted path
+    dx = np.asarray(grads_c[0])
+    np.testing.assert_array_equal(dx[2:6], np.zeros_like(dx[2:6]))
+
+
+def test_model_ragged_compaction_matches_xla():
+    """Whole-model invariant: ragged clips (tail-contiguous pad frames per
+    the dataset collaters) produce identical logits and grads with the
+    compacted pallas path and the plain XLA path — pad-frame spatial rows
+    are dead downstream, so zeroing them is exact."""
+    import dataclasses
+
+    from __graft_entry__ import _synthetic_layout_batch
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.training.criterion import make_criterion
+
+    cfgp = StltModelConfig(
+        num_classes=7, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        use_pallas=True,
+    )
+    cfgx = dataclasses.replace(cfgp, use_pallas=False)
+    batch = _synthetic_layout_batch(4, 12, 5, 4, seed=1, length_range=(3, 12))
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    mp = models_factory["stlt"](cfgp)
+    mx = models_factory["stlt"](cfgx)
+    params = mp.init(jax.random.PRNGKey(0), inputs)["params"]
+    lp = mp.apply({"params": params}, inputs)["stlt"]
+    lx = mx.apply({"params": params}, inputs)["stlt"]
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(lx), atol=2e-5, rtol=1e-5
+    )
+
+    crit = make_criterion("something")
+    labels = jnp.asarray(batch["labels"] % 7)
+    key = jax.random.key(3, impl="rbg")
+
+    def loss(m, p):
+        lo = m.apply(
+            {"params": p}, inputs, deterministic=False, rngs={"dropout": key}
+        )
+        return crit(lo, labels, None)
+
+    gp = jax.grad(lambda p: loss(mp, p))(params)
+    gx = jax.grad(lambda p: loss(mx, p))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+            err_msg=str(pa),
+        )
