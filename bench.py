@@ -20,6 +20,12 @@ Workloads (reference-defining configs, SURVEY.md §6):
   branch + fusion + 4 heads), batch 128.
 - ``long_context``: STLT eval at 256 layout frames (+ extract) — the
   position table's ceiling, no subsampling — batch 64, blockwise kernel.
+- ``long_context_512[_ragged]`` / ``long_context_train[_ragged]``: past the
+  reference ceiling; the ``_ragged`` variants use SSv2-realistic clip
+  lengths (uniform 32-256 against the 512-slot table, ~28% fill) where
+  pad-frame compaction skips dead spatial row blocks.
+- ``cacnf_train_device``: chip-side CACNF train ceiling (device-resident
+  synthetic batch, no host loader).
 
 Measurement note: this environment reaches the TPU through a relay where
 ``block_until_ready`` returns before the device finishes and a host fetch
@@ -42,6 +48,7 @@ Prints ONE JSON line per workload:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -203,6 +210,41 @@ def bench_long_context_512():
     }
 
 
+def bench_long_context_512_ragged():
+    """512-frame eval on RAGGED clips — the realistic long-context workload:
+    SSv2 videos are 2-6 s, so against a 512-slot position table real batches
+    are mostly pad frames (here lengths uniform in [32, 256] at 30 fps-ish
+    extraction: mean fill 28%). Pad-frame compaction (ops/fused_encoder
+    rows_live) skips dead spatial row blocks — the measured bound of this
+    workload (PERF_NOTES: spatial-stage-bound). A/B: STLT_COMPACTION=0."""
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+
+    config = StltModelConfig(
+        num_classes=174,
+        unique_categories=4,
+        hidden_size=768,
+        num_attention_heads=12,
+        num_spatial_layers=4,
+        num_temporal_layers=8,
+        layout_num_frames=513,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = models_factory["stlt"](config)
+    bs = 32
+    clips = _eval_clips_per_sec(
+        model, _synthetic_layout_batch(bs, 513, 8, 4, length_range=(32, 256)),
+        bs, "stlt",
+    )
+    return {
+        "metric": f"stlt_eval_512frames_ragged_clips_per_sec_chip (bf16+pallas, fill~28%, batch {bs})",
+        "value": round(clips, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / NORTH_STAR, 3),
+    }
+
+
 def bench_cacnf():
     from stlt_tpu.configs import MultimodalModelConfig
     from stlt_tpu.models import models_factory
@@ -289,12 +331,13 @@ def bench_stlt_train():
     }
 
 
-def bench_long_context_train():
+def bench_long_context_train(length_range=None):
     """TRAIN step at 512 frames (beyond the reference ceiling): full fused
     step (fwd + blockwise Pallas bwd + in-kernel hashed dropout + AdamW) on
     synthetic data, dropout ON. The round-3 capability row: before the
     KV-loop backward, training at this length materialized [B, N, T, S]
-    probability tensors."""
+    probability tensors. With ``length_range`` the clips are ragged and the
+    fused train kernels skip dead spatial row blocks (compaction)."""
     import jax.numpy as jnp
 
     from stlt_tpu.configs import StltModelConfig
@@ -316,7 +359,9 @@ def bench_long_context_train():
     )
     model = models_factory["stlt"](config)
     bs = 16
-    batch = jax.device_put(_synthetic_layout_batch(bs, 513, 8, 4))
+    batch = jax.device_put(
+        _synthetic_layout_batch(bs, 513, 8, 4, length_range=length_range)
+    )
     inputs = {k: v for k, v in batch.items() if k != "labels"}
     params = model.init(jax.random.PRNGKey(0), inputs)["params"]
     tx = make_optimizer(
@@ -348,8 +393,10 @@ def bench_long_context_train():
     t_long = min(timed(n_long) for _ in range(reps))
     per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
     clips = bs / per_step
+    tag = ", fill~28%" if length_range else ""
+    rag = "_ragged" if length_range else ""
     return {
-        "metric": f"stlt_train_512frames_clips_per_sec_chip (bf16+pallas, dropout on, batch {bs})",
+        "metric": f"stlt_train_512frames{rag}_clips_per_sec_chip (bf16+pallas, dropout on{tag}, batch {bs})",
         "value": round(clips, 1),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips / NORTH_STAR, 3),
@@ -497,7 +544,11 @@ WORKLOADS = {
     "cacnf_train_device": bench_cacnf_train_device,
     "long_context": bench_long_context,
     "long_context_512": bench_long_context_512,
+    "long_context_512_ragged": bench_long_context_512_ragged,
     "long_context_train": bench_long_context_train,
+    "long_context_train_ragged": functools.partial(
+        bench_long_context_train, length_range=(32, 256)
+    ),
 }
 
 

@@ -34,7 +34,7 @@ import time
 # `python tools/ab_fused_hw.py` puts tools/ (not the repo root) on sys.path.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CASES = ("stlt_eval", "stlt_train", "cacnf_eval")
+CASES = ("stlt_eval", "stlt_eval_ragged", "stlt_train", "cacnf_eval")
 
 # env deltas per variant: "on" is the shipping default (all fused kernels),
 # "off" routes every fused-encoder dispatch back to the round-2 paths.
@@ -48,14 +48,17 @@ VARIANTS = {
 }
 
 
-def _stlt_model():
+def _stlt_model(layout_num_frames=None):
     from stlt_tpu.configs import StltModelConfig
     from stlt_tpu.models import models_factory
 
+    kw = {}
+    if layout_num_frames is not None:
+        kw["layout_num_frames"] = layout_num_frames
     config = StltModelConfig(
         num_classes=174, unique_categories=4, hidden_size=768,
         num_attention_heads=12, num_spatial_layers=4, num_temporal_layers=8,
-        compute_dtype="bfloat16", use_pallas=True,
+        compute_dtype="bfloat16", use_pallas=True, **kw,
     )
     return models_factory["stlt"](config)
 
@@ -80,10 +83,19 @@ def run_case(case: str, out_path: str) -> None:
     from __graft_entry__ import _synthetic_layout_batch
 
     save = {}
-    if case == "stlt_eval":
-        model = _stlt_model()
-        bs = 64
-        batch = _synthetic_layout_batch(bs, 17, 8, 4)
+    if case in ("stlt_eval", "stlt_eval_ragged"):
+        ragged = case == "stlt_eval_ragged"
+        model = _stlt_model(layout_num_frames=257 if ragged else None)
+        bs = 16 if ragged else 64
+        # ragged: 257-frame clips at SSv2-like fill (~40-60 real frames) —
+        # whole spatial row blocks are dead, exercising the pad-frame-
+        # compaction skip (pl.when + SMEM live flags) under real Mosaic
+        # lowering; the model logits must be invariant (dead rows never
+        # reach them).
+        batch = _synthetic_layout_batch(
+            bs, 257 if ragged else 17, 8, 4,
+            length_range=(20, 64) if ragged else None,
+        )
         inputs = jax.device_put(
             {k: v for k, v in batch.items() if k != "labels"}
         )
