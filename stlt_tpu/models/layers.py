@@ -409,6 +409,7 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,  # positional: nn.remat static_argnums=(3,)
         kv_lengths: Optional[jnp.ndarray] = None,
         rows_live: Optional[jnp.ndarray] = None,
+        tokens_live: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         attn_out = MultiHeadAttention(
             hidden_size=self.hidden_size,
@@ -467,6 +468,7 @@ class TransformerEncoderLayer(nn.Module):
                 activation=self.activation,
                 gelu_approximate=jnp.dtype(self.dtype) == jnp.bfloat16,
                 rows_live=rows_live,
+                tokens_live=tokens_live,
             )
 
         attn_out = nn.Dropout(rate=self.dropout_rate)(
@@ -516,11 +518,12 @@ class TransformerEncoder(nn.Module):
         deterministic: bool = True,
         kv_lengths: Optional[jnp.ndarray] = None,
         rows_live: Optional[jnp.ndarray] = None,
+        tokens_live: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         layer_cls = TransformerEncoderLayer
         if self.remat:
-            # args: (self, x, bias, deterministic, kv_lengths, rows_live) —
-            # deterministic (index 3) is the only static one
+            # args: (self, x, bias, deterministic, kv_lengths, rows_live,
+            # tokens_live) — deterministic (index 3) is the only static one
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
             x = layer_cls(
@@ -535,5 +538,5 @@ class TransformerEncoder(nn.Module):
                 seq_shard=self.seq_shard,
                 causal=self.causal,
                 name=f"layers_{i}",
-            )(x, bias, deterministic, kv_lengths, rows_live)
+            )(x, bias, deterministic, kv_lengths, rows_live, tokens_live)
         return x

@@ -189,6 +189,15 @@ class StltBackbone(nn.Module):
         kv_lengths = jnp.sum(
             batch["frame_types"] != 0, axis=1, dtype=jnp.int32
         )
+        # Temporal-stage pad-frame compaction (eval): dead frame tokens skip
+        # the fused layer tail's FFN (ops/fused_encoder token flattening);
+        # the blockwise attention kernels already skip dead q blocks from
+        # kv_lengths. Same exactness argument as the spatial stage.
+        from stlt_tpu.ops.fused_encoder import COMPACTION_ENABLED
+
+        tokens_live = None
+        if cfg.use_pallas and COMPACTION_ENABLED:
+            tokens_live = batch["frame_types"] != 0
         return TransformerEncoder(
             num_layers=cfg.num_temporal_layers,
             hidden_size=cfg.hidden_size,
@@ -208,7 +217,7 @@ class StltBackbone(nn.Module):
             remat=cfg.remat,
             name="transformer",
         )(embeddings, bias, deterministic=deterministic,
-          kv_lengths=kv_lengths)  # [B, F, H]
+          kv_lengths=kv_lengths, tokens_live=tokens_live)  # [B, F, H]
 
 
 class ClassificationHead(nn.Module):

@@ -471,22 +471,49 @@ def _blockwise_attn_kernel(
         )
         m_ref[...] = m_new
 
+    # Dead-q-block skip (lengths mode, non-ring): a q block whose first row
+    # is at or past the clip's length is entirely pad frames — its outputs
+    # are never read downstream (causal+padding masking zeroes its attention
+    # weight as a key, and its cotangents are zero by induction from the
+    # loss, which reads only the extract row). Skip ALL its KV iterations
+    # and write zeros + lse 0 at finish (the live path would divide by
+    # l = 0). Ring steps (off_base) keep full compute: their q rows are
+    # device-local chunks merged across devices by lse.
+    tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+    q_alive = None
+    if lengths_bias and off_base is None:
+        q_alive = t_i * tb_sz < bias_ref[b_i]
+
     if causal and off_base is not None:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         live = (s_i == 0) | _causal_live_off(
             t_i, s_i, tb_sz, sb_sz, bias_ref, off_base
         )
         pl.when(live)(_compute)
     elif causal:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
+        live = _causal_live(t_i, s_i, tb_sz, sb_sz)
+        if q_alive is not None:
+            live = live & q_alive
+        pl.when(live)(_compute)
+    elif q_alive is not None:
+        pl.when(q_alive)(_compute)
     else:
         _compute()
 
-    @pl.when(s_i == num_kv_blocks - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
-        lse_ref[0, :, :, 0] = m_ref[...] + jnp.log(l_ref[...])
+    if q_alive is None:
+        @pl.when(s_i == num_kv_blocks - 1)
+        def _finish():
+            o_ref[0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
+            lse_ref[0, :, :, 0] = m_ref[...] + jnp.log(l_ref[...])
+    else:
+        @pl.when((s_i == num_kv_blocks - 1) & q_alive)
+        def _finish_live():
+            o_ref[0] = (acc_ref[...] / l_ref[...][..., None]).astype(o_ref.dtype)
+            lse_ref[0, :, :, 0] = m_ref[...] + jnp.log(l_ref[...])
+
+        @pl.when((s_i == num_kv_blocks - 1) & jnp.logical_not(q_alive))
+        def _finish_dead():
+            o_ref[0] = jnp.zeros(o_ref.shape[1:], o_ref.dtype)
+            lse_ref[0] = jnp.zeros(lse_ref.shape[1:], lse_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
@@ -687,14 +714,26 @@ def _blockwise_dq_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
+    # Dead-q-block skip (lengths mode, non-ring): dead q rows carry dO = 0
+    # (zero cotangents by induction from the loss), so dq is exactly zero —
+    # the zero-initialized accumulator IS the right answer; skip every KV
+    # iteration and let _finish write it.
+    tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+    q_alive = None
+    if lengths_bias and off_base is None:
+        q_alive = t_i * tb_sz < bias_ref[b_i]
+
     if causal and off_base is not None:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         pl.when(_causal_live_off(t_i, s_i, tb_sz, sb_sz, bias_ref, off_base))(
             _compute
         )
     elif causal:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
+        live = _causal_live(t_i, s_i, tb_sz, sb_sz)
+        if q_alive is not None:
+            live = live & q_alive
+        pl.when(live)(_compute)
+    elif q_alive is not None:
+        pl.when(q_alive)(_compute)
     else:
         _compute()
 
@@ -772,14 +811,25 @@ def _blockwise_dkdv_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
+    # Dead-q-block skip (lengths mode, non-ring): dead q rows have dO = 0,
+    # so dz = dp = 0 — they contribute nothing to dk/dv. Skip their whole
+    # inner-loop iteration; the zero-init/accumulate structure is unchanged.
+    tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
+    q_alive = None
+    if lengths_bias and off_base is None:
+        q_alive = t_i * tb_sz < bias_ref[b_i]
+
     if causal and off_base is not None:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
         pl.when(_causal_live_off(t_i, s_i, tb_sz, sb_sz, bias_ref, off_base))(
             _compute
         )
     elif causal:
-        tb_sz, sb_sz = q_ref.shape[2], k_ref.shape[2]
-        pl.when(_causal_live(t_i, s_i, tb_sz, sb_sz))(_compute)
+        live = _causal_live(t_i, s_i, tb_sz, sb_sz)
+        if q_alive is not None:
+            live = live & q_alive
+        pl.when(live)(_compute)
+    elif q_alive is not None:
+        pl.when(q_alive)(_compute)
     else:
         _compute()
 
@@ -1016,6 +1066,15 @@ def flash_attention(
     SKIP (q, kv) block pairs entirely above the diagonal: their p is
     identically 0, so forward l/acc and every gradient are untouched while
     the MXU work disappears.
+
+    Lengths-mode ROW contract: query rows at or past ``kv_lengths[b]`` are
+    pad frames. Their forward values are unspecified-but-finite (the
+    blockwise dispatch SKIPS whole dead q blocks and writes zeros; other
+    dispatches compute them) and their cotangents are treated as zero in
+    backward. Callers must never read dead rows or send gradient into them
+    — the models here guarantee both (dead rows are only ever consumed as
+    -1e9-masked attention keys, and the loss reads the extract row), which
+    is what makes the skip exact (dO = 0 ⇒ dq = 0 and dz = dp = 0).
     """
     assert dropout_mask is None or dropout_seed is None
     assert bias is None or kv_lengths is None, (

@@ -520,8 +520,11 @@ def _pick_tail_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
 
 def tail_blocks_fit(rows: int, t: int, h: int, ff: int, itemsize: int) -> bool:
     """Dispatch predicate: does any (row-block, ff-chunk) fit scoped VMEM?
-    Token axis is padded to 8 first, as the launcher will."""
-    return _pick_tail_blocks(rows, t + (-t) % 8, h, ff, itemsize) is not None
+    The launcher flattens tokens into rows of 8, so the fit is evaluated at
+    token-count granularity — T no longer pressures VMEM (512-frame shapes
+    fit)."""
+    total = rows * t
+    return _pick_tail_blocks(-(total // -8), 8, h, ff, itemsize) is not None
 
 
 def fused_layer_tail(
@@ -541,38 +544,63 @@ def fused_layer_tail(
     activation: str = "gelu",
     gelu_approximate: bool = False,
     rows_live: Optional[jnp.ndarray] = None,
+    tokens_live: Optional[jnp.ndarray] = None,
     blocks: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """norm2(u + FFN(u)) for u = norm1(x + attn_out), in one kernel.
     x/attn_out: [B, T, H]; w1: [H, FF]; w2: [FF, H]. Returns [B, T, H] in
-    x.dtype. Eval path only (no dropout, no backward). ``rows_live``:
-    optional [B] bool — dead row blocks skip the FFN entirely and write
-    zeros (pad-frame compaction; see fused_proj_attention)."""
+    x.dtype. Eval path only (no dropout, no backward).
+
+    The tail has NO cross-token op (LN/FFN are per-token), so the launcher
+    FLATTENS tokens into rows of 8 (the f32 sublane tile): pad waste drops
+    from per-row token padding (17 -> 24 was +41%) to <= 7 tokens per batch,
+    per-block VMEM no longer scales with T (the fused tail now serves
+    512-frame shapes the [B, T, H] blocking could not fit), and dead-token
+    skipping becomes 8-token-granular. ``rows_live`` ([B] bool, whole input
+    rows dead — the folded spatial stage) or ``tokens_live`` ([B, T] bool,
+    ragged token validity — the temporal stage's pad frames) let dead row
+    blocks skip the FFN entirely and write zeros (pad-frame compaction; see
+    fused_proj_attention for why zeros are exact)."""
     B, T0, H = x.shape
     FF = w1.shape[1]
     cdtype = jnp.dtype(compute_dtype)
 
-    pad_t = (-T0) % 8
-    T = T0 + pad_t
-    if pad_t:
-        # The tail has no cross-token op: padded tokens produce junk rows
-        # that are sliced off (LN/FFN are per-token).
-        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
-        attn_out = jnp.pad(attn_out, ((0, 0), (0, pad_t), (0, 0)))
+    tokens = B * T0
+    pad_tok = (-tokens) % 8
+    xf = x.reshape(tokens, H)
+    af = attn_out.reshape(tokens, H)
+    if pad_tok:
+        xf = jnp.pad(xf, ((0, pad_tok), (0, 0)))
+        af = jnp.pad(af, ((0, pad_tok), (0, 0)))
+    R = (tokens + pad_tok) // 8
+    xf = xf.reshape(R, 8, H)
+    af = af.reshape(R, 8, H)
 
-    blocks = blocks or _pick_tail_blocks(B, T, H, FF, cdtype.itemsize)
+    live = None
+    if tokens_live is not None:
+        live = jnp.asarray(tokens_live, bool).reshape(tokens)
+    elif rows_live is not None:
+        live = jnp.repeat(jnp.asarray(rows_live, bool), T0)
+    if live is not None:
+        if pad_tok:
+            live = jnp.pad(live, (0, pad_tok))
+        live = jnp.max(live.reshape(R, 8).astype(jnp.int32), axis=1)
+
+    T = 8
+    blocks = blocks or _pick_tail_blocks(R, T, H, FF, cdtype.itemsize)
     if blocks is None:
         raise RuntimeError(
             "no tail block configuration fits scoped VMEM at "
-            f"(T={T}, H={H}, FF={FF}, {cdtype}); the dispatch gate "
+            f"(H={H}, FF={FF}, {cdtype}); the dispatch gate "
             "(tail_blocks_fit) should have kept this shape on the XLA chain"
         )
     rb, ffb = blocks
-    pad_rows = (-B) % rb
+    pad_rows = (-R) % rb
     if pad_rows:
-        x = _pad_to(x, 0, rb)
-        attn_out = _pad_to(attn_out, 0, rb)
-    Bp = B + pad_rows
+        xf = _pad_to(xf, 0, rb)
+        af = _pad_to(af, 0, rb)
+    x, attn_out = xf, af
+    Bp = R + pad_rows
     grid = (Bp // rb, FF // ffb)
 
     def row_spec():
@@ -611,10 +639,10 @@ def fused_layer_tail(
         jnp.reshape(n2_scale, (1, H)).astype(jnp.float32),
         jnp.reshape(n2_bias, (1, H)).astype(jnp.float32),
     ]
-    has_live = rows_live is not None
+    has_live = live is not None
     if has_live:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        operands.append(_block_live(rows_live, pad_rows, rb))
+        operands.append(_block_live(live, pad_rows, rb))
 
     out = pl.pallas_call(
         functools.partial(
@@ -633,7 +661,7 @@ def fused_layer_tail(
         ],
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return out[:B, :T0]
+    return out.reshape(Bp * 8, H)[:tokens].reshape(B, T0, H)
 
 
 # --- train path: fused forward + fused backward ------------------------------

@@ -438,16 +438,24 @@ def test_causal_skip_matches_unskipped(T):
 
 @pytest.mark.parametrize("T,causal", [(640, True), (640, False), (48, True)])
 def test_kv_lengths_matches_dense_bias(T, causal):
-    """kv_lengths (+ causal) must equal the dense-bias path exactly —
-    forward and gradients, blockwise and short dispatch, with hashed
-    dropout. (Blockwise: the bias is generated in-kernel; short: the dense
-    equivalent is built as a fallback.)"""
+    """kv_lengths (+ causal) must equal the dense-bias path exactly on LIVE
+    query rows — forward and gradients, blockwise and short dispatch, with
+    hashed dropout. Dead rows (t >= length) follow the documented lengths-
+    mode row contract: unspecified-but-finite forward values (zeros on the
+    blockwise dispatch, which SKIPS whole dead q blocks) and zero-cotangent
+    backward — so the loss masks dead rows, as the models do (the loss reads
+    only the extract row, which is live)."""
     rng = np.random.default_rng(23)
     B, N, D, rate = 2, 2, 16, 0.2
     q, k, v = _rand_qkv(rng, B, T, T, N, D)
-    lengths = jnp.asarray([T - 37, T], jnp.int32)
+    # clip 0's dead tail is long enough to cover whole q blocks on the
+    # blockwise dispatch (ragged-clip realism), plus a ragged 37-row edge.
+    cut = T - 300 if T >= 640 else T - 37
+    lengths = jnp.asarray([cut, T], jnp.int32)
+    row_live = (np.arange(T)[None, :] < np.asarray(lengths)[:, None])
+    row_live = jnp.asarray(row_live)[:, :, None, None]  # [B, T, 1, 1]
     pad = np.zeros((B, T), bool)
-    pad[0, T - 37:] = True
+    pad[0, cut:] = True
     bias = masks.key_padding_bias(jnp.asarray(pad))
     if causal:
         bias = bias + masks.causal_bias(T)
@@ -464,12 +472,19 @@ def test_kv_lengths_matches_dense_bias(T, causal):
             a, b, c, bias, dropout_seed=seed, dropout_rate=rate, causal=causal
         )
 
+    out_len, out_dense = f_len(q, k, v), f_dense(q, k, v)
     np.testing.assert_allclose(
-        np.asarray(f_len(q, k, v)), np.asarray(f_dense(q, k, v)),
+        np.asarray(out_len * row_live), np.asarray(out_dense * row_live),
         atol=1e-6, rtol=1e-6,
     )
-    gl = jax.grad(lambda *a: f_len(*a).sum(), (0, 1, 2))(q, k, v)
-    gd = jax.grad(lambda *a: f_dense(*a).sum(), (0, 1, 2))(q, k, v)
+    assert np.all(np.isfinite(np.asarray(out_len)))
+    if T >= 640:
+        # blockwise dispatch: whole dead q blocks are skipped and zeroed
+        # (the 300-row dead tail covers at least the last 128-row q block)
+        tb = np.asarray(out_len[0, T - 128:])
+        np.testing.assert_array_equal(tb, np.zeros_like(tb))
+    gl = jax.grad(lambda *a: (f_len(*a) * row_live).sum(), (0, 1, 2))(q, k, v)
+    gd = jax.grad(lambda *a: (f_dense(*a) * row_live).sum(), (0, 1, 2))(q, k, v)
     for a, b in zip(gl, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
 

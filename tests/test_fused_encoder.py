@@ -741,3 +741,54 @@ def test_model_ragged_compaction_matches_xla():
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
             err_msg=str(pa),
         )
+
+
+def test_model_ragged_blockwise_compaction_matches_xla():
+    """Ragged parity at a BLOCKWISE temporal length (>=513 frames): dead-q
+    block skipping in the blockwise kernels + the token-flattened fused tail
+    (which now serves long context) + spatial compaction, all against the
+    plain XLA path. Eval logits and train grads."""
+    import dataclasses
+
+    from __graft_entry__ import _synthetic_layout_batch
+    from stlt_tpu.configs import StltModelConfig
+    from stlt_tpu.models import models_factory
+    from stlt_tpu.training.criterion import make_criterion
+
+    cfgp = StltModelConfig(
+        num_classes=5, unique_categories=4, hidden_size=32,
+        num_attention_heads=4, num_spatial_layers=1, num_temporal_layers=1,
+        layout_num_frames=516, use_pallas=True,
+    )
+    cfgx = dataclasses.replace(cfgp, use_pallas=False)
+    batch = _synthetic_layout_batch(2, 516, 3, 4, seed=2, length_range=(40, 200))
+    inputs = {k: v for k, v in batch.items() if k != "labels"}
+    mp = models_factory["stlt"](cfgp)
+    mx = models_factory["stlt"](cfgx)
+    params = mp.init(jax.random.PRNGKey(0), inputs)["params"]
+    lp = mp.apply({"params": params}, inputs)["stlt"]
+    lx = mx.apply({"params": params}, inputs)["stlt"]
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(lx), atol=5e-5, rtol=1e-4
+    )
+
+    crit = make_criterion("something")
+    labels = jnp.asarray(batch["labels"] % 5)
+    key = jax.random.key(3, impl="rbg")
+
+    def loss(m, p):
+        lo = m.apply(
+            {"params": p}, inputs, deterministic=False, rngs={"dropout": key}
+        )
+        return crit(lo, labels, None)
+
+    gp = jax.grad(lambda p: loss(mp, p))(params)
+    gx = jax.grad(lambda p: loss(mx, p))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=str(pa),
+        )

@@ -253,25 +253,36 @@ def test_two_process_cacnf_train_matches_single_process(tmp_path):
     single_losses = _losses(args_single["log_filepath"])
     assert len(single_losses) == 2
 
-    port = _free_port()
-    argv_multi, args_multi = cli_args(
-        "multi", coordinator_address=f"localhost:{port}", num_processes="2",
-    )
-    env4 = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
-    p0 = subprocess.Popen(
-        [sys.executable, "-m", "stlt_tpu.train", *argv_multi, "--process_id", "0"],
-        cwd="/root/repo", env=env4,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-    )
-    p1 = subprocess.Popen(
-        [sys.executable, "-m", "stlt_tpu.train", *argv_multi, "--process_id", "1"],
-        cwd="/root/repo", env=env4,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-    )
-    out0, err0 = p0.communicate(timeout=600)
-    out1, err1 = p1.communicate(timeout=120)
-    assert p0.returncode == 0, f"proc0 failed:\n{out0}\n{err0}"
-    assert p1.returncode == 0, f"proc1 failed:\n{out1}\n{err1}"
+    # Gloo's KV-store rendezvous has a fixed ~30s deadline; on this 1-core
+    # box a concurrent compile can skew the two processes past it (observed
+    # under a parallel pytest run). That is an environment flake, not a
+    # correctness signal — retry the PAIR once when the failure is exactly
+    # that deadline.
+    for attempt in range(2):
+        port = _free_port()
+        argv_multi, args_multi = cli_args(
+            "multi", coordinator_address=f"localhost:{port}", num_processes="2",
+        )
+        env4 = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+        p0 = subprocess.Popen(
+            [sys.executable, "-m", "stlt_tpu.train", *argv_multi, "--process_id", "0"],
+            cwd="/root/repo", env=env4,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        p1 = subprocess.Popen(
+            [sys.executable, "-m", "stlt_tpu.train", *argv_multi, "--process_id", "1"],
+            cwd="/root/repo", env=env4,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        out0, err0 = p0.communicate(timeout=600)
+        out1, err1 = p1.communicate(timeout=120)
+        if p0.returncode == 0 and p1.returncode == 0:
+            break
+        gloo_flake = "DEADLINE_EXCEEDED" in (err0 + err1 + out0 + out1)
+        if attempt == 0 and gloo_flake:
+            continue
+        assert p0.returncode == 0, f"proc0 failed:\n{out0}\n{err0}"
+        assert p1.returncode == 0, f"proc1 failed:\n{out1}\n{err1}"
 
     multi_losses = _losses(args_multi["log_filepath"])
     assert len(multi_losses) == 2
