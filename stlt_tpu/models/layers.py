@@ -471,6 +471,41 @@ class TransformerEncoderLayer(nn.Module):
                 tokens_live=tokens_live,
             )
 
+        from stlt_tpu.ops.fused_tail_train import (
+            FUSED_TAIL_TRAIN_ENABLED,
+            fused_layer_tail_train,
+            tail_train_fits,
+        )
+
+        if (
+            FUSED_TAIL_TRAIN_ENABLED
+            and self.use_pallas
+            and not deterministic
+            and tail_train_fits(
+                x.shape[0], x.shape[1], H, FF,
+                jnp.dtype(self.dtype).itemsize,
+            )
+        ):
+            # Train fast path: the whole tail (three dropout sites included,
+            # as counter-hashed bits) forward AND backward in Pallas — no
+            # 4H hidden, no sampled masks, and dead-token groups skip all
+            # compute in both directions (ops/fused_tail_train.py).
+            seed = None
+            if self.dropout_rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            return fused_layer_tail_train(
+                x, attn_out, n1_scale, n1_bias, w1, b1, w2, b2,
+                n2_scale, n2_bias,
+                eps=self.layer_norm_eps,
+                compute_dtype=self.dtype,
+                activation=self.activation,
+                gelu_approximate=jnp.dtype(self.dtype) == jnp.bfloat16,
+                dropout_rate=self.dropout_rate,
+                seed=seed,
+                rows_live=rows_live,
+                tokens_live=tokens_live,
+            )
+
         attn_out = nn.Dropout(rate=self.dropout_rate)(
             attn_out, deterministic=deterministic
         )
