@@ -506,17 +506,46 @@ class TransformerEncoderLayer(nn.Module):
                 tokens_live=tokens_live,
             )
 
-        attn_out = nn.Dropout(rate=self.dropout_rate)(
-            attn_out, deterministic=deterministic
-        )
+        # XLA tail chain. Its three dropout sites use the SAME single-draw
+        # seed + counter-hashed keep bits as the fused train-tail kernel
+        # (one make_rng("dropout") at this layer scope, tags per site, the
+        # element counter is token*width+feature) — so use_pallas=True/False
+        # agree exactly in train mode, the invariant
+        # tests/test_flash_kernel.py::test_train_mode_pallas_matches_xla_exactly
+        # pins. Mirrors round 3's hash_keep_mask reconstruction for
+        # attention-prob dropout (ops/flash.py).
+        drop_on = self.dropout_rate > 0.0 and not deterministic
+        if drop_on:
+            from stlt_tpu.ops.fused_tail_train import (
+                TAG_ATTN_DROP,
+                TAG_MID_DROP,
+                TAG_OUT_DROP,
+                hash_keep_rows,
+            )
+
+            seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            scale = 1.0 / (1.0 - self.dropout_rate)
+            tokens = x.shape[0] * x.shape[1]
+
+            def hdrop(v, tag):
+                width = v.shape[-1]
+                keep = hash_keep_rows(
+                    seed, tag, tokens, width, self.dropout_rate
+                ).reshape(v.shape)
+                return (v.astype(jnp.float32) * keep * scale).astype(self.dtype)
+
+        if drop_on:
+            attn_out = hdrop(attn_out, TAG_ATTN_DROP)
         x = apply_layer_norm(
             x + attn_out, n1_scale, n1_bias, self.layer_norm_eps, self.dtype
         )
         h = apply_dense_params(x, w1, b1, self.dtype)
         h = activation_fn(self.activation, self.dtype)(h)
-        h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
+        if drop_on:
+            h = hdrop(h, TAG_MID_DROP)
         h = apply_dense_params(h, w2, b2, self.dtype)
-        h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=deterministic)
+        if drop_on:
+            h = hdrop(h, TAG_OUT_DROP)
         return apply_layer_norm(
             x + h, n2_scale, n2_bias, self.layer_norm_eps, self.dtype
         )

@@ -554,13 +554,17 @@ def fused_layer_tail(
     The tail has NO cross-token op (LN/FFN are per-token), so the launcher
     FLATTENS tokens into rows of 8 (the f32 sublane tile): pad waste drops
     from per-row token padding (17 -> 24 was +41%) to <= 7 tokens per batch,
-    per-block VMEM no longer scales with T (the fused tail now serves
-    512-frame shapes the [B, T, H] blocking could not fit), and dead-token
-    skipping becomes 8-token-granular. ``rows_live`` ([B] bool, whole input
-    rows dead — the folded spatial stage) or ``tokens_live`` ([B, T] bool,
-    ragged token validity — the temporal stage's pad frames) let dead row
-    blocks skip the FFN entirely and write zeros (pad-frame compaction; see
-    fused_proj_attention for why zeros are exact)."""
+    and per-block VMEM no longer scales with T (the fused tail now serves
+    512-frame shapes the [B, T, H] blocking could not fit). ``rows_live``
+    ([B] bool, whole input rows dead — the folded spatial stage) or
+    ``tokens_live`` ([B, T] bool, ragged token validity — the temporal
+    stage's pad frames) let dead row blocks skip the FFN entirely and write
+    zeros (pad-frame compaction; see fused_proj_attention for why zeros are
+    exact). The skip is ROW-BLOCK-granular (row_block x 8 tokens; 8-token
+    groups only when row_block=1, and the picker typically covers the whole
+    batch in a few blocks) — a block with any live group computes fully, so
+    ragged-eval wins scale with the live-BLOCK fraction, not the live-token
+    fraction."""
     B, T0, H = x.shape
     FF = w1.shape[1]
     cdtype = jnp.dtype(compute_dtype)

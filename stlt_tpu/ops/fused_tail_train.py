@@ -42,9 +42,18 @@ keeps the whole tail in VMEM:
   ``tokens_live`` — see ``fused_proj_attention`` for the exactness
   argument: dead rows are only ever consumed through -1e9-masked attention
   keys, so their outputs AND cotangents are exactly zero) lets dead
-  8-token groups skip all compute in all four kernels. This is what makes
-  ragged long-context TRAINING scale with the live fraction: the attention
-  kernels already skip dead blocks; the XLA tail chain cannot.
+  row blocks skip all compute in all four kernels. The compute skip is
+  ROW-BLOCK-granular (8-token groups only when row_block=1): a block with
+  any live group computes fully. The dead-row CONTRACT is per-token
+  regardless: outputs (y, r2) and input cotangents (g on entry; dx/dattn
+  on exit) are masked by ``live`` at the XLA seam, where the multiply
+  fuses into the surrounding reshape/slice for free. Masking g is the
+  exact VJP of the masked forward, and it makes every weight-grad
+  contribution from dead rows inside mixed blocks exactly zero
+  (dr2 = ln_bwd(0) = 0 row-locally, so dh2/dh1/dW terms vanish). This is
+  what makes ragged long-context TRAINING scale with the live fraction:
+  the attention kernels already skip dead blocks; the XLA tail chain
+  cannot.
 
 Kill-switch: ``STLT_FUSED_TAIL_TRAIN=0`` routes dispatch back to the XLA
 chain (hardware A/B attribution, tools/ab_fused_hw.py).
@@ -780,6 +789,13 @@ def _tail_train_fwd(statics, eps, activation, gelu_approximate,
     )(*operands)
     y = y.reshape(Rp * 8, H)[:tokens]
     r2 = r2.reshape(Rp * 8, H)[:tokens]
+    if live is not None:
+        # Per-token dead-row contract: the kernel's skip is row-block-
+        # granular, so dead tokens inside a mixed block carry computed
+        # values — zero them here (fuses into the slice above).
+        keep = live[:, None]
+        y = jnp.where(keep, y, jnp.zeros((), y.dtype))
+        r2 = jnp.where(keep, r2, jnp.zeros((), r2.dtype))
     return y, (x, attn_out, n1s, n1b, w1, b1, w2, n2s, seed, live, r2)
 
 
@@ -790,8 +806,16 @@ def _tail_train_bwd(statics, eps, activation, gelu_approximate, residuals, g):
     FF = w1.shape[1]
     itemsize = jnp.dtype(cdtype).itemsize
 
+    g = g.astype(cdtype)
+    if live is not None:
+        # Exact VJP of the masked forward (dead outputs are constants), and
+        # the per-token guarantee for every accumulated grad: with g zeroed
+        # on dead rows, dr2 = ln_bwd(0) = 0 there (row-local), so dead rows
+        # inside mixed blocks contribute exactly zero to dW/db/dn sums and
+        # dx/dattn come out exactly zero.
+        g = jnp.where(live[:, None], g, jnp.zeros((), g.dtype))
     (xf, af, dr2f_in, gf), glive, R = _flatten_tokens(
-        [x, attn_out, r2, g.astype(cdtype)], live, tokens
+        [x, attn_out, r2, g], live, tokens
     )
     r2f = dr2f_in  # naming: flattened r2
 
@@ -943,7 +967,14 @@ def _tail_train_bwd(statics, eps, activation, gelu_approximate, residuals, g):
         *live_ops3, *seed_ops,
     )
 
-    unflat = lambda a: a.reshape(R * 8, H)[:tokens]
+    def unflat(a):
+        a = a.reshape(R * 8, H)[:tokens]
+        if live is not None:
+            # analytically already zero at dead rows (see g masking above);
+            # pinned here so the contract survives any kernel refactor
+            a = jnp.where(live[:, None], a, jnp.zeros((), a.dtype))
+        return a
+
     return (
         unflat(dx), unflat(dattn),
         dn1s[0], dn1b[0],

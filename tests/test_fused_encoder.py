@@ -367,8 +367,11 @@ def test_encoder_layer_eval_is_fully_fused():
     eval_prims = prims(True)
     assert eval_prims.count("pallas_call") == 2, eval_prims
     assert eval_prims.count("dot_general") == 0, eval_prims
+    # Since the round-4 fused train tail, the TRAIN forward is fully fused
+    # too: fused proj+attention + fused tail, no top-level XLA GEMM left.
     train_prims = prims(False)
-    assert train_prims.count("dot_general") > 0
+    assert train_prims.count("pallas_call") == 2, train_prims
+    assert train_prims.count("dot_general") == 0, train_prims
 
 
 def test_encoder_layer_eval_matches_xla_chain():

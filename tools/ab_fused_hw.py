@@ -34,16 +34,25 @@ import time
 # `python tools/ab_fused_hw.py` puts tools/ (not the repo root) on sys.path.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CASES = ("stlt_eval", "stlt_eval_ragged", "stlt_train", "cacnf_eval")
+CASES = (
+    "stlt_eval", "stlt_eval_ragged", "stlt_train", "stlt_train_ragged",
+    "cacnf_eval",
+)
 
 # env deltas per variant: "on" is the shipping default (all fused kernels),
-# "off" routes every fused-encoder dispatch back to the round-2 paths.
+# "off" routes every fused-encoder dispatch back to the plain XLA paths —
+# including the round-4 fused TRAIN tail and pad-frame compaction, so the
+# train cases really compare the new kernels against the clean XLA chain
+# (the off chain reconstructs the same hashed dropout streams, so train
+# grads are comparable bit-stream-for-bit-stream).
 VARIANTS = {
     "on": {},
     "off": {
         "STLT_FUSED_PROJ": "0",
         "STLT_FUSED_TAIL": "0",
         "STLT_FUSED_PROJ_TRAIN": "0",
+        "STLT_FUSED_TAIL_TRAIN": "0",
+        "STLT_COMPACTION": "0",
     },
 }
 
@@ -125,15 +134,21 @@ def run_case(case: str, out_path: str) -> None:
         save["compile_s"] = np.float64(time.perf_counter() - t0)
         for head, v in outs.items():
             save[f"logits_{head}"] = v.astype(np.float32)
-    elif case == "stlt_train":
-        import jax.numpy as jnp
-
+    elif case in ("stlt_train", "stlt_train_ragged"):
         from stlt_tpu.training.criterion import make_criterion
 
-        model = _stlt_model()
+        ragged = case == "stlt_train_ragged"
+        # ragged: 129-frame clips at SSv2-like fill — mixed live/dead row
+        # blocks hit the fused train tail's per-token dead contract and the
+        # attention kernels' dead-q-block skip under real Mosaic lowering;
+        # grads must match the XLA chain (same hashed dropout streams).
+        model = _stlt_model(layout_num_frames=129 if ragged else None)
         criterion = make_criterion("something")
-        bs = 64
-        batch = _synthetic_layout_batch(bs, 17, 8, 4)
+        bs = 8 if ragged else 64
+        batch = _synthetic_layout_batch(
+            bs, 129 if ragged else 17, 8, 4,
+            length_range=(20, 64) if ragged else None,
+        )
         labels = jax.device_put(batch["labels"].astype(np.int32))
         inputs = jax.device_put(
             {k: v for k, v in batch.items() if k != "labels"}
