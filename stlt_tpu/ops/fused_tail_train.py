@@ -544,25 +544,58 @@ def _tail_train_bwd_weight_kernel(
 
 
 # --- block pickers --------------------------------------------------------
+#
+# Round-5 VMEM model. The round-4 pickers modeled NOMINAL bytes against a
+# 12 MB budget and OOM'd scoped VMEM on real lowering at 512-frame train
+# shapes (over by up to 0.9 MB of the 16 MB limit) because two real effects
+# were unaccounted:
+#   1. Mosaic DOUBLE-BUFFERS every block whose index map varies over the
+#      grid (inputs, outputs, and the ff-chunked weight slices) — x2.
+#   2. Tile padding: a [rb, 8, H] block pads the 8-sublane dim to the
+#      dtype's sublane tile — 16 for bf16, so bf16 row blocks really cost
+#      f32 bytes.
+# With both modeled, the predicted footprint of the failing config
+# (B2a, rb=19, ffb=1536, bf16) is 16.9 MB — matching the compiler's
+# reported 16.88 MB. Budget is capped at 13 MB (3 MB slack for Mosaic
+# stack scheduling), tunable via STLT_TAIL_TRAIN_VMEM_MB for hardware
+# working-set sweeps (round-3 found train kernels prefer SMALL sets).
+
+_VMEM_LIMIT = 13 * 1024 * 1024
+
+
+def _budget() -> int:
+    mb = os.environ.get("STLT_TAIL_TRAIN_VMEM_MB")
+    if mb:
+        return min(int(float(mb) * 1024 * 1024), _VMEM_LIMIT)
+    return _VMEM_BUDGET if _VMEM_BUDGET < _VMEM_LIMIT else _VMEM_LIMIT
+
+
+def _tiled3(rb: int, t: int, h: int, itemsize: int) -> int:
+    """Tiled bytes of one [rb, t, h] row block: lane dim pads to 128, the
+    t (sublane) dim to the dtype tile (f32 8, bf16 16)."""
+    sub = 16 if itemsize == 2 else 8
+    return rb * (-(t // -sub) * sub) * (-(h // -128) * 128) * itemsize
 
 
 def _pick_fwd_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
-    """(row_block, ff_chunk) for the forward. Same structure as the eval
-    tail picker + the keep tiles (f32 [rows, ffb] mid + 2x [rows, h])."""
+    """(row_block, ff_chunk) for the forward, maximizing rb*ffb under the
+    double-buffered + tile-padded footprint."""
     best = None
-    for ffb in (ff, ff // 2, ff // 4, ff // 8):
+    for ffb in (ff, ff // 2, ff // 4, ff // 8, ff // 16):
         if not ffb or ff % ffb:
             continue
-        weights = 2 * h * ffb * itemsize + (ffb + 5 * h) * itemsize
-        per_row = (
-            4 * t * h * itemsize        # x, attn, y, r2 blocks
-            + t * h * itemsize          # u scratch
-            + t * h * 4                 # f32 accumulator
-            + t * ffb * (4 + itemsize)  # z1/h1 chunk f32 + compute copy
-            + t * ffb * 4               # keep tile (mid)
-            + 4 * t * h * 4             # LN temps + keep1/keep2 tiles
+        # w1/w2 chunks stream over the ff grid dim: x2 buffers each
+        fixed = (
+            2 * 2 * h * ffb * itemsize
+            + 2 * (5 * 8 * h + 8 * ffb) * 4   # f32 vec blocks, x2 buffers
         )
-        budget = _VMEM_BUDGET - weights
+        per_row = (
+            4 * 2 * _tiled3(1, t, h, itemsize)  # x, attn in + y, r2 out, x2
+            + t * h * (itemsize + 4)            # u (cd) + acc (f32) scratch
+            # stack: recompute/finish f32 temps + z1/h1/keep chunk tiles
+            + t * (5 * h * 4 + ffb * (8 + itemsize))
+        )
+        budget = _budget() - fixed
         if budget <= per_row:
             continue
         rb0 = min(budget // per_row, rows)
@@ -576,11 +609,11 @@ def _pick_fwd_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
 
 def _pick_b1_rows(rows: int, t: int, h: int, itemsize: int):
     per_row = (
-        3 * t * h * itemsize   # r2, g, dr2 blocks
-        + 6 * t * h * 4        # f32 temps (r232, g32, xhat, dr2, dh2, keep2)
+        3 * 2 * _tiled3(1, t, h, itemsize)  # r2, g in + dr2 out, x2 buffers
+        + 6 * t * h * 4        # f32 stack (r232, g32, xhat, dr2, dh2, keep2)
     )
-    fixed = 6 * h * 4
-    rb0 = min((_VMEM_BUDGET - fixed) // per_row, rows)
+    fixed = 8 * 8 * h * 4
+    rb0 = min((_budget() - fixed) // per_row, rows)
     if rb0 < 1:
         return None
     return _best_row_block(rows, rb0)
@@ -588,18 +621,20 @@ def _pick_b1_rows(rows: int, t: int, h: int, itemsize: int):
 
 def _pick_b2a_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
     best = None
-    for ffb in (ff, ff // 2, ff // 4, ff // 8):
+    for ffb in (ff, ff // 2, ff // 4, ff // 8, ff // 16):
         if not ffb or ff % ffb:
             continue
-        weights = 2 * h * ffb * itemsize + (ffb + 5 * h) * itemsize
-        per_row = (
-            5 * t * h * itemsize        # x, attn, dr2, dx, da blocks
-            + t * h * itemsize          # u scratch
-            + 2 * t * h * 4             # dh2 + du scratches (f32)
-            + t * ffb * (3 * 4 + itemsize)  # z1/dh1d/keep tiles + cd copy
-            + 4 * t * h * 4             # LN temps + keep tiles
+        fixed = (
+            2 * 2 * h * ffb * itemsize          # w1/w2 chunks, x2 buffers
+            + 2 * (6 * 8 * h + 8 * ffb) * 4     # vec blocks
         )
-        budget = _VMEM_BUDGET - weights
+        per_row = (
+            5 * 2 * _tiled3(1, t, h, itemsize)  # x, attn, dr2 + dx, da, x2
+            + t * h * (itemsize + 2 * 4)        # u (cd) + dh2/du (f32) scratch
+            # stack: recompute f32 temps, dh2 cd copy, z1/dh1d/keep/dh1 tiles
+            + t * (4 * h * 4 + h * itemsize + ffb * (16 + itemsize))
+        )
+        budget = _budget() - fixed
         if budget <= per_row:
             continue
         rb0 = min(budget // per_row, rows)
@@ -612,20 +647,24 @@ def _pick_b2a_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
 
 
 def _pick_b2b_blocks(rows: int, t: int, h: int, ff: int, itemsize: int):
-    """Chunk-major: the f32 dW1/dW2 chunk accumulators are grid-resident.
+    """Chunk-major: the f32 dW1/dW2 chunk accumulators are revisited across
+    the row grid dim but still swap (and so double-buffer) per chunk.
     Prefer the LARGEST ff chunk that still leaves a useful row block (fewer
     passes over the token stream — each chunk re-reads x/attn/dr2)."""
-    for ffb in (ff, ff // 2, ff // 4, ff // 8):
+    for ffb in (ff, ff // 2, ff // 4, ff // 8, ff // 16):
         if not ffb or ff % ffb:
             continue
-        weights = 2 * h * ffb * itemsize + (ffb + 5 * h) * itemsize
-        accs = 2 * h * ffb * 4 + ffb * 4
-        per_row = (
-            3 * t * h * itemsize        # x, attn, dr2 blocks
-            + 4 * t * h * 4             # u/dh2/keep/LN temps (f32)
-            + t * ffb * (3 * 4 + 2 * itemsize)  # z1/dh1/keep + h1/dh1 cd
+        fixed = (
+            2 * 2 * h * ffb * itemsize          # w1/w2 chunks, x2 buffers
+            + 2 * (2 * h * ffb * 4 + 8 * ffb * 4)  # dW1/db1/dW2 accs, x2
+            + 2 * 4 * 8 * h * 4                 # vec blocks
         )
-        budget = _VMEM_BUDGET - weights - accs
+        per_row = (
+            3 * 2 * _tiled3(1, t, h, itemsize)  # x, attn, dr2 in, x2 buffers
+            # stack: recompute f32 temps + u/dh2 copies + chunk tiles
+            + t * (5 * h * 4 + 2 * h * itemsize + ffb * (20 + 2 * itemsize))
+        )
+        budget = _budget() - fixed
         if budget <= per_row:
             continue
         rb0 = min(budget // per_row, rows)

@@ -70,10 +70,10 @@ def _setup(spatial=4, temporal=8):
 
 def _chain(fn, *args, n_short=2, n_long=12, reps=3, donate_state=None):
     """Per-call seconds via the long-minus-short dispatch chain."""
-    out = fn(*args)
-    jax.tree.map(np.asarray, out)  # compile + warm fetch
-
     if donate_state is None:
+        out = fn(*args)
+        jax.tree.map(np.asarray, out)  # compile + warm fetch
+
         def timed(n):
             t0 = time.perf_counter()
             out = None
@@ -85,7 +85,8 @@ def _chain(fn, *args, n_short=2, n_long=12, reps=3, donate_state=None):
     else:
         state = donate_state
         # donated step: state threads through; fetch the loss each time
-        state, _ = fn(state, *args)
+        state, loss = fn(state, *args)  # compile + warm fetch
+        _ = np.asarray(loss)
 
         def timed(n):
             nonlocal state
