@@ -400,6 +400,12 @@ class TransformerEncoderLayer(nn.Module):
     use_pallas: bool = False
     seq_shard: bool = False
     causal: bool = False
+    # Clip length (frames) of the MODEL this encoder serves — the static
+    # long-context signal for the fused train-tail gate
+    # (ops/fused_tail_train.tail_train_wants). 0 = short-context/unknown:
+    # the train tail stays on the XLA chain, which hardware A/B showed is
+    # 26% faster at headline shapes (docs/PERF_NOTES.md round 5).
+    clip_frames: int = 0
 
     @nn.compact
     def __call__(
@@ -471,21 +477,18 @@ class TransformerEncoderLayer(nn.Module):
                 tokens_live=tokens_live,
             )
 
-        from stlt_tpu.ops.fused_tail_train import (
-            FUSED_TAIL_TRAIN_ENABLED,
-            fused_layer_tail_train,
-            tail_train_fits,
+        import stlt_tpu.ops.fused_tail_train as ftt
+
+        # Static dispatch predicate: enabled + long-context model
+        # (clip_frames gate — the kernel loses at MXU-bound headline shapes,
+        # wins on ragged long-context; rationale at
+        # ops/fused_tail_train.TAIL_TRAIN_MIN_FRAMES) + VMEM-fits.
+        tail_kernel_wants = ftt.tail_train_wants(
+            x.shape[0], x.shape[1], H, FF,
+            jnp.dtype(self.dtype).itemsize, self.clip_frames,
         )
 
-        if (
-            FUSED_TAIL_TRAIN_ENABLED
-            and self.use_pallas
-            and not deterministic
-            and tail_train_fits(
-                x.shape[0], x.shape[1], H, FF,
-                jnp.dtype(self.dtype).itemsize,
-            )
-        ):
+        if tail_kernel_wants and self.use_pallas and not deterministic:
             # Train fast path: the whole tail (three dropout sites included,
             # as counter-hashed bits) forward AND backward in Pallas — no
             # 4H hidden, no sampled masks, and dead-token groups skip all
@@ -493,7 +496,7 @@ class TransformerEncoderLayer(nn.Module):
             seed = None
             if self.dropout_rate > 0.0:
                 seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
-            return fused_layer_tail_train(
+            return ftt.fused_layer_tail_train(
                 x, attn_out, n1_scale, n1_bias, w1, b1, w2, b2,
                 n2_scale, n2_bias,
                 eps=self.layer_norm_eps,
@@ -510,42 +513,49 @@ class TransformerEncoderLayer(nn.Module):
         # seed + counter-hashed keep bits as the fused train-tail kernel
         # (one make_rng("dropout") at this layer scope, tags per site, the
         # element counter is token*width+feature) — so use_pallas=True/False
-        # agree exactly in train mode, the invariant
-        # tests/test_flash_kernel.py::test_train_mode_pallas_matches_xla_exactly
-        # pins. Mirrors round 3's hash_keep_mask reconstruction for
-        # attention-prob dropout (ops/flash.py).
+        # agree exactly in train mode wherever a kernel twin exists
+        # (tests/test_flash_kernel.py::test_train_mode_pallas_matches_xla_exactly
+        # pins this; mirrors round 3's hash_keep_mask reconstruction for
+        # attention-prob dropout in ops/flash.py). The hash is kept even
+        # where no kernel twin dispatches: round-5 hardware A/B measured it
+        # 15.7% FASTER than threefry nn.Dropout at the train headline
+        # (ops/fused_tail_train.HASH_TAIL_DROP; STLT_HASH_TAIL_DROP=0
+        # reverts, measurement only).
         drop_on = self.dropout_rate > 0.0 and not deterministic
         if drop_on:
-            from stlt_tpu.ops.fused_tail_train import (
-                TAG_ATTN_DROP,
-                TAG_MID_DROP,
-                TAG_OUT_DROP,
-                hash_keep_rows,
-            )
+            if not ftt.HASH_TAIL_DROP:
+                def hdrop(v, tag):
+                    return nn.Dropout(rate=self.dropout_rate)(
+                        v, deterministic=False, rng=self.make_rng("dropout")
+                    )
+            else:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                )
+                scale = 1.0 / (1.0 - self.dropout_rate)
+                tokens = x.shape[0] * x.shape[1]
 
-            seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
-            scale = 1.0 / (1.0 - self.dropout_rate)
-            tokens = x.shape[0] * x.shape[1]
-
-            def hdrop(v, tag):
-                width = v.shape[-1]
-                keep = hash_keep_rows(
-                    seed, tag, tokens, width, self.dropout_rate
-                ).reshape(v.shape)
-                return (v.astype(jnp.float32) * keep * scale).astype(self.dtype)
+                def hdrop(v, tag):
+                    width = v.shape[-1]
+                    keep = ftt.hash_keep_rows(
+                        seed, tag, tokens, width, self.dropout_rate
+                    ).reshape(v.shape)
+                    return (
+                        v.astype(jnp.float32) * keep * scale
+                    ).astype(self.dtype)
 
         if drop_on:
-            attn_out = hdrop(attn_out, TAG_ATTN_DROP)
+            attn_out = hdrop(attn_out, ftt.TAG_ATTN_DROP)
         x = apply_layer_norm(
             x + attn_out, n1_scale, n1_bias, self.layer_norm_eps, self.dtype
         )
         h = apply_dense_params(x, w1, b1, self.dtype)
         h = activation_fn(self.activation, self.dtype)(h)
         if drop_on:
-            h = hdrop(h, TAG_MID_DROP)
+            h = hdrop(h, ftt.TAG_MID_DROP)
         h = apply_dense_params(h, w2, b2, self.dtype)
         if drop_on:
-            h = hdrop(h, TAG_OUT_DROP)
+            h = hdrop(h, ftt.TAG_OUT_DROP)
         return apply_layer_norm(
             x + h, n2_scale, n2_bias, self.layer_norm_eps, self.dtype
         )
@@ -571,6 +581,8 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     seq_shard: bool = False
     causal: bool = False
+    # Threaded to every layer: see TransformerEncoderLayer.clip_frames.
+    clip_frames: int = 0
     remat: bool = False
 
     @nn.compact
@@ -601,6 +613,7 @@ class TransformerEncoder(nn.Module):
                 use_pallas=self.use_pallas,
                 seq_shard=self.seq_shard,
                 causal=self.causal,
+                clip_frames=self.clip_frames,
                 name=f"layers_{i}",
             )(x, bias, deterministic, kv_lengths, rows_live, tokens_live)
         return x

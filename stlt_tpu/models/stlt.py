@@ -120,6 +120,10 @@ class SpatialTransformer(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas=cfg.use_pallas,
+            # Long-context signal for the fused train-tail gate
+            # (ops/fused_tail_train.tail_train_wants): the kernel only wins
+            # when the MODEL's clip length makes the step HBM-bound.
+            clip_frames=F,
             remat=cfg.remat,
             name="transformer",
         )(tokens, pad_bias, deterministic=deterministic, rows_live=rows_live)
@@ -214,6 +218,7 @@ class StltBackbone(nn.Module):
             # The temporal bias is causal (+frame padding): the blockwise
             # kernels skip whole above-diagonal blocks at long context.
             causal=True,
+            clip_frames=num_frames,
             remat=cfg.remat,
             name="transformer",
         )(embeddings, bias, deterministic=deterministic,

@@ -75,6 +75,15 @@ from stlt_tpu.ops.fused_encoder import _best_row_block, _block_live, _const_spec
 
 FUSED_TAIL_TRAIN_ENABLED = os.environ.get("STLT_FUSED_TAIL_TRAIN", "1") != "0"
 
+# Measurement-only switch: STLT_HASH_TAIL_DROP=0 reverts the XLA tail
+# chain's three dropout sites to plain nn.Dropout. Default ON — the hashed
+# streams keep use_pallas=True/False bit-identical in train mode AND are
+# 15.7% faster on hardware than threefry-sampled nn.Dropout at the train
+# headline (3517.6 vs 3040.9 clips/s, round-5 A/B in docs/PERF_NOTES.md):
+# three lowbias32 rounds fuse into the surrounding elementwise ops where
+# threefry's block generation cannot.
+HASH_TAIL_DROP = os.environ.get("STLT_HASH_TAIL_DROP", "1") != "0"
+
 # Stream tags folded into the seed, one per dropout site (the attention
 # kernel's probability dropout uses a *different* seed drawn from the same
 # flax "dropout" RNG, so no cross-site collision is possible either way).
@@ -686,6 +695,41 @@ def tail_train_fits(rows: int, t: int, h: int, ff: int, itemsize: int) -> bool:
         and _pick_b1_rows(r, 8, h, itemsize) is not None
         and _pick_b2a_blocks(r, 8, h, ff, itemsize) is not None
         and _pick_b2b_blocks(r, 8, h, ff, itemsize) is not None
+    )
+
+
+# Long-context gate (round-5 hardware A/B, docs/PERF_NOTES.md): at the
+# headline 17-frame workload the fused train tail LOSES 26% to the XLA
+# chain (2596.6 vs 3517.6 clips/s — the step is MXU-bound there and the
+# kernel's in-block recompute + chunked dW accumulation can't beat two big
+# XLA GEMMs). At 512 frames the picture splits on raggedness: full-length
+# batches lose too (71.2 vs 84.1 — no dead blocks to skip, pure kernel
+# overhead) while SSv2-fill ragged batches WIN (112.5 vs 106.4 — the
+# dead-block compute skip the XLA chain cannot do). Raggedness is not a
+# static property (rows_live is a traced array whenever compaction is on),
+# so the gate keys on the MODEL's clip length: a ≥256-frame model exists
+# precisely because real clips are long-tailed and batches are ragged
+# (fill ~28% at 512, docs/PERF_NOTES.md) — the expected-case win. Token
+# counts are nearly identical in both regimes (~66-70k), so the regime is
+# a property of the model, not the layer shape — encoders advertise it via
+# ``clip_frames``. Full-length synthetic sweeps can flip the gate via env
+# (=100000 disables, =0 forces) or by monkeypatching this attribute.
+TAIL_TRAIN_MIN_FRAMES = int(os.environ.get("STLT_TAIL_TRAIN_MIN_FRAMES", "256"))
+
+
+def tail_train_wants(
+    rows: int, t: int, h: int, ff: int, itemsize: int, clip_frames: int
+) -> bool:
+    """True when the fused train tail WOULD dispatch under use_pallas=True:
+    enabled, long-context per the gate above, and VMEM-fits. The XLA chain
+    needs no twin of this predicate: its dropout sites always use the
+    hashed streams (HASH_TAIL_DROP above — faster than nn.Dropout on
+    hardware AND bit-identical to the kernel), so use_pallas=True/False
+    agree whichever way this gate resolves."""
+    return (
+        FUSED_TAIL_TRAIN_ENABLED
+        and clip_frames >= TAIL_TRAIN_MIN_FRAMES
+        and tail_train_fits(rows, t, h, ff, itemsize)
     )
 
 

@@ -284,12 +284,18 @@ def test_dropout_mask_kernel_matches_reference(T, S):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
-def test_train_mode_pallas_matches_xla_exactly():
-    """With the mask sampled outside the kernel, the train-mode forward under
-    use_pallas must EQUAL the XLA path given the same dropout rng."""
+def test_train_mode_pallas_matches_xla_exactly(monkeypatch):
+    """With the mask sampled outside the kernel (attention) and the tail's
+    three dropout streams counter-hashed identically on both paths, the
+    train-mode forward under use_pallas must EQUAL the XLA path given the
+    same dropout rng. The long-context gate is forced open so the 6-frame
+    test model dispatches the fused train tail."""
     from stlt_tpu.configs import StltModelConfig
     from stlt_tpu.models import models_factory
     from __graft_entry__ import _synthetic_layout_batch
+    import stlt_tpu.ops.fused_tail_train as ftt
+
+    monkeypatch.setattr(ftt, "TAIL_TRAIN_MIN_FRAMES", 0)
 
     batch = _synthetic_layout_batch(4, 6, 4, 4, seed=21)
     inputs = {k: v for k, v in batch.items() if k != "labels"}

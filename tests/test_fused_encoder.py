@@ -326,23 +326,27 @@ def test_tail_op_bf16():
 
 def test_encoder_layer_eval_is_fully_fused():
     """Eval with use_pallas: the whole layer is two pallas_calls (attention
-    sublayer + layer tail) with no top-level dot_general; train falls back
-    to the differentiable chain."""
+    sublayer + layer tail) with no top-level dot_general. TRAIN dispatch is
+    gated on the model's clip length (round-5 hardware A/B: the fused train
+    tail wins only in the HBM-bound long-context regime,
+    ops/fused_tail_train.TAIL_TRAIN_MIN_FRAMES): a long-context layer is
+    fully fused in train too; a short-context layer keeps the two XLA FFN
+    GEMMs the MXU is faster at."""
     from stlt_tpu.models.layers import TransformerEncoderLayer
 
     H, B, T = 32, 4, 8
     rng = np.random.default_rng(23)
     x = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
-    layer = TransformerEncoderLayer(
-        hidden_size=H, num_heads=4, ff_size=4 * H, dropout_rate=0.1,
-        activation="gelu", use_pallas=True,
-    )
-    params = layer.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        x, None, True,
-    )["params"]
 
-    def prims(deterministic):
+    def prims(deterministic, clip_frames):
+        layer = TransformerEncoderLayer(
+            hidden_size=H, num_heads=4, ff_size=4 * H, dropout_rate=0.1,
+            activation="gelu", use_pallas=True, clip_frames=clip_frames,
+        )
+        params = layer.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, None, True,
+        )["params"]
         jaxpr = jax.make_jaxpr(
             lambda p, a: layer.apply(
                 {"params": p}, a, None, deterministic,
@@ -364,14 +368,19 @@ def test_encoder_layer_eval_is_fully_fused():
 
         return list(walk(jaxpr.jaxpr))
 
-    eval_prims = prims(True)
+    eval_prims = prims(True, 0)
     assert eval_prims.count("pallas_call") == 2, eval_prims
     assert eval_prims.count("dot_general") == 0, eval_prims
-    # Since the round-4 fused train tail, the TRAIN forward is fully fused
-    # too: fused proj+attention + fused tail, no top-level XLA GEMM left.
-    train_prims = prims(False)
+    # Long-context train forward: fused proj+attention + fused train tail,
+    # no top-level XLA GEMM left.
+    train_prims = prims(False, 512)
     assert train_prims.count("pallas_call") == 2, train_prims
     assert train_prims.count("dot_general") == 0, train_prims
+    # Short-context train forward: attention kernel + the XLA tail chain
+    # (linear1/linear2 dot_generals stay on the MXU-bound fast path).
+    short_prims = prims(False, 0)
+    assert short_prims.count("pallas_call") == 1, short_prims
+    assert short_prims.count("dot_general") == 2, short_prims
 
 
 def test_encoder_layer_eval_matches_xla_chain():
@@ -695,17 +704,22 @@ def test_train_op_rows_live_grads_match_zero_dead_cotangent(rate):
     np.testing.assert_array_equal(dx[2:6], np.zeros_like(dx[2:6]))
 
 
-def test_model_ragged_compaction_matches_xla():
+def test_model_ragged_compaction_matches_xla(monkeypatch):
     """Whole-model invariant: ragged clips (tail-contiguous pad frames per
     the dataset collaters) produce identical logits and grads with the
     compacted pallas path and the plain XLA path — pad-frame spatial rows
-    are dead downstream, so zeroing them is exact."""
+    are dead downstream, so zeroing them is exact. The long-context gate is
+    forced open so the 12-frame test model still exercises the fused train
+    tail's mixed live/dead blocks."""
     import dataclasses
 
     from __graft_entry__ import _synthetic_layout_batch
     from stlt_tpu.configs import StltModelConfig
     from stlt_tpu.models import models_factory
     from stlt_tpu.training.criterion import make_criterion
+    import stlt_tpu.ops.fused_tail_train as ftt
+
+    monkeypatch.setattr(ftt, "TAIL_TRAIN_MIN_FRAMES", 0)
 
     cfgp = StltModelConfig(
         num_classes=7, unique_categories=4, hidden_size=32,
