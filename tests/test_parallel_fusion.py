@@ -177,14 +177,19 @@ def test_context_parallel_eval_cacnf(cacnf_setup):
     assert shardings["video_frames"].spec == P("data")
 
 
-def test_ragged_context_parallel_train_grads_match_xla():
+def test_ragged_context_parallel_train_grads_match_xla(monkeypatch):
     """VERDICT r4 #7: pad-frame compaction (tokens_live from categories==0 on
     tail-contiguous pad frames) and ring lengths mode must COMPOSE under a
     context axis. A ragged-lengths CACNF train step on a (data x context)
     pallas mesh is compared grad-for-grad against the meshless XLA chain:
-    with optax.sgd(1.0), the one-step param delta IS the gradient."""
+    with optax.sgd(1.0), the one-step param delta IS the gradient. The
+    long-context gate is forced open so the fused TRAIN tail also runs
+    under the mesh on this 8-frame model."""
     import optax
 
+    import stlt_tpu.ops.fused_tail_train as ftt
+
+    monkeypatch.setattr(ftt, "TAIL_TRAIN_MIN_FRAMES", 0)
     set_active_mesh(None)
     batch = _cacnf_batch(seed=11)
     # ragged layout lengths (reference datasets.py:247-264 padding
