@@ -212,3 +212,54 @@ def test_convert_checkpoint_cli(tmp_path):
     restored = load_params(out, params)
     logits = model.apply({"params": restored}, inputs)["stlt"]
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dump_perbox_features(tmp_path):
+    import h5py
+
+    from tests.fixtures import make_something_fixture, make_video_hdf5
+
+    paths, videos, labels, sizes = make_something_fixture(str(tmp_path), num_videos=3)
+    videos_path = make_video_hdf5(str(tmp_path), sizes, num_frames=6)
+    out_path = str(tmp_path / "perbox.h5")
+    args = [
+        "--dataset_path", paths["dataset_path"],
+        "--videos_path", videos_path,
+        "--save_features_path", out_path,
+        "--spatial_size", "32",
+        "--resnet_depth", "10",
+        "--window", "4",
+        "--platform", "cpu",
+    ]
+    run_tool("dump_perbox_features.py", *args)
+    run_tool("dump_perbox_features.py", *args)  # idempotent resume
+    with h5py.File(out_path, "r") as f:
+        assert set(f.keys()) == {v["id"] for v in videos}
+        for el in videos:
+            grp = f[el["id"]]
+            num_frames = min(6, len(el["frames"]))
+            # reference schema (dump_perbox_features.py:92-105): one
+            # whole-frame vector + one per box, per frame.
+            want_keys = set()
+            for i in range(num_frames):
+                want_keys.add(f"{i}-frame")
+                for k in range(len(el["frames"][i]["frame_objects"])):
+                    want_keys.add(f"{i}-frame-{k}-box")
+            assert set(grp.keys()) == want_keys
+            vec = np.asarray(grp["0-frame"])
+            assert vec.shape == (9 * 512,)  # 3x3 pool x depth-10 C_out
+            assert np.isfinite(vec).all()
+            for key in grp:
+                assert np.isfinite(np.asarray(grp[key])).all()
+
+
+def test_perbox_natural_sort_matches_natsorted_semantics():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_perbox", os.path.join(REPO, "tools", "dump_perbox_features.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    keys = ["10", "2", "1", "frame_10", "frame_2", "00003"]
+    assert mod.natural_sorted(keys) == ["1", "2", "00003", "10", "frame_2", "frame_10"]
