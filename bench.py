@@ -210,6 +210,21 @@ def bench_long_context_512():
     }
 
 
+def _with_live_prefix(config, batch):
+    """Ragged workloads: static live-prefix capacity for the spatial fold
+    from this batch's host-known lengths (models/stlt.py live-prefix path;
+    A/B kill: STLT_LIVE_PREFIX=0)."""
+    import dataclasses
+
+    from stlt_tpu.ops.fused_encoder import live_prefix_capacity
+
+    ft = np.asarray(batch["frame_types"])
+    cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+    if cap is None:
+        return config
+    return dataclasses.replace(config, spatial_live_capacity=cap)
+
+
 def bench_long_context_512_ragged():
     """512-frame eval on RAGGED clips — the realistic long-context workload:
     SSv2 videos are 2-6 s, so against a 512-slot position table real batches
@@ -231,12 +246,10 @@ def bench_long_context_512_ragged():
         compute_dtype="bfloat16",
         use_pallas=True,
     )
-    model = models_factory["stlt"](config)
     bs = 32
-    clips = _eval_clips_per_sec(
-        model, _synthetic_layout_batch(bs, 513, 8, 4, length_range=(32, 256)),
-        bs, "stlt",
-    )
+    batch = _synthetic_layout_batch(bs, 513, 8, 4, length_range=(32, 256))
+    model = models_factory["stlt"](_with_live_prefix(config, batch))
+    clips = _eval_clips_per_sec(model, batch, bs, "stlt")
     return {
         "metric": f"stlt_eval_512frames_ragged_clips_per_sec_chip (bf16+pallas, fill~28%, batch {bs})",
         "value": round(clips, 1),
@@ -357,11 +370,12 @@ def bench_long_context_train(length_range=None):
         compute_dtype="bfloat16",
         use_pallas=True,
     )
-    model = models_factory["stlt"](config)
     bs = 16
-    batch = jax.device_put(
-        _synthetic_layout_batch(bs, 513, 8, 4, length_range=length_range)
-    )
+    batch = _synthetic_layout_batch(bs, 513, 8, 4, length_range=length_range)
+    if length_range:
+        config = _with_live_prefix(config, batch)
+    model = models_factory["stlt"](config)
+    batch = jax.device_put(batch)
     inputs = {k: v for k, v in batch.items() if k != "labels"}
     params = model.init(jax.random.PRNGKey(0), inputs)["params"]
     tx = make_optimizer(

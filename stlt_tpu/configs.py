@@ -188,6 +188,12 @@ class GeneralModelConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False  # fused attention kernels on TPU
     remat: bool = False  # per-encoder-layer activation checkpointing
+    # Ragged live-prefix capacity for the spatial fold (static row count the
+    # spatial encoder runs at after gathering live rows to a global prefix;
+    # None = full B*F rows). Set per batch-bucket by the serving/bench loop
+    # via dataclasses.replace — the param tree is capacity-invariant, so one
+    # set of weights serves every bucket (models/stlt.py SpatialTransformer).
+    spatial_live_capacity: Optional[int] = None
 
     def __post_init__(self):
         assert self.num_classes, "num_classes must not be None!"
@@ -256,6 +262,7 @@ class MultimodalModelConfig(GeneralModelConfig):
             num_spatial_layers=self.num_spatial_layers,
             num_temporal_layers=self.num_temporal_layers,
             layout_num_frames=self.layout_num_frames,
+            spatial_live_capacity=self.spatial_live_capacity,
         )
 
     @property
@@ -291,6 +298,32 @@ def position_table_rows(data_config: DataConfig) -> int:
     (``utils.convert.resize_position_table``).
     """
     return max(StltModelConfig.layout_num_frames, data_config.num_total_frames)
+
+
+def spatial_live_capacity_for(dataset, data_config: DataConfig, batch_size: int):
+    """Safe-by-construction live-prefix capacity for a whole dataset
+    (``--live_prefix``): each clip's live frame rows are bounded by
+    ``min(its frame count, layout_num_frames) + 1`` (the extract slot), so
+    ``batch_size x dataset max`` bounds every batch's live rows — the
+    capacity contract in models/stlt.py holds for all batches with no
+    per-batch recompiles. Returns ``None`` when the fold would not shrink
+    (the data fills the frame axis — the common short-table configs) or the
+    feature is off (``STLT_LIVE_PREFIX=0``); only long-context configs
+    (grown position tables, ragged clips) benefit."""
+    from stlt_tpu.ops.fused_encoder import LIVE_PREFIX_ENABLED
+
+    if not LIVE_PREFIX_ENABLED:
+        return None
+    scan = getattr(dataset, "max_video_frames", None)
+    if scan is None:
+        return None
+    max_frames = scan()
+    if max_frames <= 0:
+        return None
+    max_live = min(max_frames, data_config.layout_num_frames) + 1
+    total = batch_size * data_config.num_total_frames
+    cap = min(total, ((batch_size * max_live + 7) // 8) * 8)
+    return None if cap >= total else cap
 
 
 def make_model_config(model_name: str, **kwargs):

@@ -97,6 +97,11 @@ class LayoutDataset:
     def __len__(self) -> int:
         return len(self.json_file)
 
+    def max_video_frames(self) -> int:
+        """Longest clip's frame count (live-prefix capacity scans,
+        configs.spatial_live_capacity_for)."""
+        return max((len(el["frames"]) for el in self.json_file), default=0)
+
     # -- templates for one padded frame (CLS token + zeros) -----------------
     def _blank_frame(self, num_boxes: int):
         categories = np.zeros((num_boxes,), dtype=np.int32)

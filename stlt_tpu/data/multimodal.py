@@ -28,6 +28,9 @@ class MultimodalDataset:
     def __len__(self) -> int:
         return len(self.layout_dataset)
 
+    def max_video_frames(self) -> int:
+        return self.layout_dataset.max_video_frames()
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
         return {
             "layout": self.layout_dataset.__getitem__(idx, rng=rng),

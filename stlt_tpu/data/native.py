@@ -121,6 +121,17 @@ class NativeLayoutDataset:
     def __len__(self) -> int:
         return self._num_videos
 
+    def max_video_frames(self) -> int:
+        """Longest clip's frame count (live-prefix capacity scans,
+        configs.spatial_live_capacity_for). Startup-only O(n) ctypes walk."""
+        return max(
+            (
+                int(self._lib.lt_video_num_frames(self._handle, i))
+                for i in range(self._num_videos)
+            ),
+            default=0,
+        )
+
     def __del__(self):
         handle = getattr(self, "_handle", None)
         if handle:

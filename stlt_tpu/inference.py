@@ -19,7 +19,12 @@ import logging
 import jax
 import numpy as np
 
-from stlt_tpu.configs import category2id_for, make_model_config, position_table_rows
+from stlt_tpu.configs import (
+    category2id_for,
+    make_model_config,
+    position_table_rows,
+    spatial_live_capacity_for,
+)
 from stlt_tpu.data import collaters_factory, datasets_factory
 from stlt_tpu.data.loader import Loader
 from stlt_tpu.models import models_factory
@@ -89,6 +94,11 @@ def inference(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         remat=args.remat,
+        spatial_live_capacity=(
+            spatial_live_capacity_for(test_dataset, data_cfg, args.batch_size)
+            if getattr(args, "live_prefix", False) and args.use_pallas
+            else None
+        ),
     )
     logging.info("==================================")
     logging.info("The model's configuration is:\n%s", model_config)

@@ -110,7 +110,22 @@ class SpatialTransformer(nn.Module):
         rows_live = None
         if cfg.use_pallas and COMPACTION_ENABLED:
             rows_live = (batch["frame_types"] != 0).reshape(B * F)
-        tokens = TransformerEncoder(
+        # Live-prefix capacity (ragged serving): block-granular skipping
+        # still pays the per-program floor and the block DMA for every DEAD
+        # block — at realistic fill that is most of the grid. With a static
+        # per-bucket capacity from the host loop (the loader knows every
+        # clip's length), gather live rows to a global prefix, run the whole
+        # spatial stage on the first `cap` rows only — the grid, the DMA and
+        # the FLOPs all shrink by ~fill — and scatter the per-frame CLS
+        # vectors back. Exact: the stage is row-independent (per-frame
+        # attention over boxes, per-token FFN/LN), so a permutation commutes
+        # bitwise with it, and rows left out are the same rows the compaction
+        # contract already defines as zeros. CONTRACT: cap >= live row count
+        # (ops.fused_encoder.live_prefix_capacity derives it from host
+        # lengths); under a context-sharded mesh leave this None — the
+        # gather would cross shard boundaries.
+        cap = cfg.spatial_live_capacity
+        encoder = TransformerEncoder(
             num_layers=cfg.num_spatial_layers,
             hidden_size=cfg.hidden_size,
             num_heads=cfg.num_attention_heads,
@@ -126,7 +141,24 @@ class SpatialTransformer(nn.Module):
             clip_frames=F,
             remat=cfg.remat,
             name="transformer",
-        )(tokens, pad_bias, deterministic=deterministic, rows_live=rows_live)
+        )
+        if rows_live is not None and cap is not None and cap < B * F:
+            dead = (rows_live == 0).astype(jnp.int32)
+            perm = jnp.argsort(dead, stable=True)
+            idx = perm[:cap]
+            compact = encoder(
+                jnp.take(tokens, idx, axis=0),
+                jnp.take(pad_bias, idx, axis=0),
+                deterministic=deterministic,
+                rows_live=jnp.take(rows_live, idx),
+            )
+            cls = jnp.zeros((B * F, H), compact.dtype).at[idx].set(
+                compact[:, 0, :]
+            )
+            return cls.reshape(B, F, H)
+        tokens = encoder(
+            tokens, pad_bias, deterministic=deterministic, rows_live=rows_live
+        )
         # Keep the frame-CLS token (slot 0) per frame: [B, F, H].
         return tokens[:, 0, :].reshape(B, F, H)
 

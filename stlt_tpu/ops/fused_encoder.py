@@ -68,6 +68,29 @@ FUSED_PROJ_ENABLED = os.environ.get("STLT_FUSED_PROJ", "1") != "0"
 FUSED_TAIL_ENABLED = os.environ.get("STLT_FUSED_TAIL", "1") != "0"
 FUSED_TRAIN_ENABLED = os.environ.get("STLT_FUSED_PROJ_TRAIN", "1") != "0"
 COMPACTION_ENABLED = os.environ.get("STLT_COMPACTION", "1") != "0"
+LIVE_PREFIX_ENABLED = os.environ.get("STLT_LIVE_PREFIX", "1") != "0"
+
+
+def live_prefix_capacity(live_rows: int, total_rows: int, buckets: int = 8):
+    """Host-side bucket for the spatial live-prefix fold
+    (``configs.spatial_live_capacity``): the smallest of ``buckets`` evenly
+    spaced capacities that covers ``live_rows``, rounded up to a sublane
+    multiple of 8. Returns ``None`` when the fold would not shrink (top
+    bucket) or the feature is disabled (``STLT_LIVE_PREFIX=0``) — callers
+    then run the plain block-skip path. Bucketing bounds jit recompiles at
+    ``buckets`` per model while keeping the capacity >= the live row count
+    (the correctness contract in models/stlt.py)."""
+    if not LIVE_PREFIX_ENABLED:
+        return None
+    live_rows = max(int(live_rows), 1)
+    if live_rows >= total_rows:
+        return None
+    k = -(-live_rows * buckets // total_rows)  # ceil
+    if k >= buckets:
+        return None
+    cap = -(-total_rows * k // buckets)
+    cap = min(total_rows, ((cap + 7) // 8) * 8)
+    return None if cap >= total_rows else cap
 
 
 def _block_live(rows_live, pad_rows: int, rb: int) -> jnp.ndarray:

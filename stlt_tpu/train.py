@@ -32,7 +32,21 @@ from stlt_tpu.configs import (
     category2id_for,
     make_model_config,
     position_table_rows,
+    spatial_live_capacity_for,
 )
+
+
+def _live_prefix_cap(args, *dataset_cfgs):
+    """--live_prefix: one capacity that is safe for every dataset the model
+    sees (train AND val clips bound it), or None when any scan can't prove
+    a bound / the fold would not shrink."""
+    if not (getattr(args, "live_prefix", False) and args.use_pallas):
+        return None
+    caps = [
+        spatial_live_capacity_for(ds, cfg, args.batch_size)
+        for ds, cfg in dataset_cfgs
+    ]
+    return None if any(c is None for c in caps) else max(caps)
 from stlt_tpu.data import collaters_factory, datasets_factory
 from stlt_tpu.data.loader import Loader, device_prefetch
 from stlt_tpu.models import models_factory
@@ -207,6 +221,9 @@ def train(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         remat=args.remat,
+        spatial_live_capacity=_live_prefix_cap(
+            args, (train_dataset, train_cfg), (val_dataset, val_cfg)
+        ),
     )
     logging.info("==================================")
     logging.info("The model's configuration is:\n%s", model_config)

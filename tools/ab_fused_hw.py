@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CASES = (
     "stlt_eval", "stlt_eval_ragged", "stlt_train", "stlt_train_ragged",
-    "stlt_train_nodrop", "cacnf_eval",
+    "stlt_train_nodrop", "cacnf_eval", "stlt_eval_live_prefix",
+    "stlt_train_live_prefix",
 )
 
 # env deltas per variant: "on" is the shipping kernel set with the
@@ -60,7 +61,7 @@ VARIANTS = {
 }
 
 
-def _stlt_model(layout_num_frames=None, dropout=None):
+def _stlt_model(layout_num_frames=None, dropout=None, live_capacity=None):
     from stlt_tpu.configs import StltModelConfig
     from stlt_tpu.models import models_factory
 
@@ -69,6 +70,8 @@ def _stlt_model(layout_num_frames=None, dropout=None):
         kw["layout_num_frames"] = layout_num_frames
     if dropout is not None:
         kw["hidden_dropout_prob"] = dropout
+    if live_capacity is not None:
+        kw["spatial_live_capacity"] = live_capacity
     config = StltModelConfig(
         num_classes=174, unique_categories=4, hidden_size=768,
         num_attention_heads=12, num_spatial_layers=4, num_temporal_layers=8,
@@ -97,9 +100,8 @@ def run_case(case: str, out_path: str) -> None:
     from __graft_entry__ import _synthetic_layout_batch
 
     save = {}
-    if case in ("stlt_eval", "stlt_eval_ragged"):
-        ragged = case == "stlt_eval_ragged"
-        model = _stlt_model(layout_num_frames=257 if ragged else None)
+    if case in ("stlt_eval", "stlt_eval_ragged", "stlt_eval_live_prefix"):
+        ragged = case != "stlt_eval"
         bs = 16 if ragged else 64
         # ragged: 257-frame clips at SSv2-like fill (~40-60 real frames) —
         # whole spatial row blocks are dead, exercising the pad-frame-
@@ -109,6 +111,24 @@ def run_case(case: str, out_path: str) -> None:
         batch = _synthetic_layout_batch(
             bs, 257 if ragged else 17, 8, 4,
             length_range=(20, 64) if ragged else None,
+        )
+        # live_prefix: the "on" variant additionally runs the spatial fold
+        # at a static live-row capacity (gather -> small grid -> scatter,
+        # models/stlt.py); "off" is the plain XLA chain, so the check is
+        # end-to-end: permutation + capacity + kernels vs no kernels at all.
+        # Capacity keys off COMPACTION_ENABLED because the off variant's env
+        # (STLT_COMPACTION=0) reaches this subprocess at import time.
+        cap = None
+        if case == "stlt_eval_live_prefix":
+            from stlt_tpu.ops.fused_encoder import (
+                COMPACTION_ENABLED, live_prefix_capacity,
+            )
+
+            if COMPACTION_ENABLED:
+                ft = np.asarray(batch["frame_types"])
+                cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+        model = _stlt_model(
+            layout_num_frames=257 if ragged else None, live_capacity=cap
         )
         inputs = jax.device_put(
             {k: v for k, v in batch.items() if k != "labels"}
@@ -139,10 +159,11 @@ def run_case(case: str, out_path: str) -> None:
         save["compile_s"] = np.float64(time.perf_counter() - t0)
         for head, v in outs.items():
             save[f"logits_{head}"] = v.astype(np.float32)
-    elif case in ("stlt_train", "stlt_train_ragged", "stlt_train_nodrop"):
+    elif case in ("stlt_train", "stlt_train_ragged", "stlt_train_nodrop",
+                  "stlt_train_live_prefix"):
         from stlt_tpu.training.criterion import make_criterion
 
-        ragged = case == "stlt_train_ragged"
+        ragged = case in ("stlt_train_ragged", "stlt_train_live_prefix")
         # ragged: 129-frame clips at SSv2-like fill — mixed live/dead row
         # blocks hit the fused train tail's per-token dead contract and the
         # attention kernels' dead-q-block skip under real Mosaic lowering;
@@ -150,15 +171,31 @@ def run_case(case: str, out_path: str) -> None:
         # nodrop: dropout_rate=0 removes the bit-stream question entirely —
         # any residual on/off grad delta is pure bf16 accumulation-order
         # noise, the measured basis for the loose signed-sum bar below.
-        model = _stlt_model(
-            layout_num_frames=129 if ragged else None,
-            dropout=0.0 if case == "stlt_train_nodrop" else None,
-        )
         criterion = make_criterion("something")
         bs = 8 if ragged else 64
         batch = _synthetic_layout_batch(
             bs, 129 if ragged else 17, 8, 4,
             length_range=(20, 64) if ragged else None,
+        )
+        # live_prefix train: dropout=0 because the hashed streams index by
+        # operand row, which the live-prefix gather permutes — with dropout
+        # off the capacity path's grads must match the XLA chain on the
+        # compaction contract alone.
+        cap = None
+        if case == "stlt_train_live_prefix":
+            from stlt_tpu.ops.fused_encoder import (
+                COMPACTION_ENABLED, live_prefix_capacity,
+            )
+
+            if COMPACTION_ENABLED:
+                ft = np.asarray(batch["frame_types"])
+                cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+        model = _stlt_model(
+            layout_num_frames=129 if ragged else None,
+            dropout=0.0
+            if case in ("stlt_train_nodrop", "stlt_train_live_prefix")
+            else None,
+            live_capacity=cap,
         )
         labels = jax.device_put(batch["labels"].astype(np.int32))
         inputs = jax.device_put(
