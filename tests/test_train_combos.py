@@ -108,6 +108,48 @@ def test_bf16_fused_train_kernel_step():
               grad_accum=2)
 
 
+def test_live_prefix_bf16_pallas_ragged_train_step():
+    """Round-5 live-prefix spatial fold in the risky corner: {bf16 × pallas
+    × ragged lengths × spatial_live_capacity} through a REAL compiled train
+    step with remat (the gather/scatter must replay inside jax.checkpoint)
+    and grad_accum (scanned microbatches re-trace the capped fold)."""
+    import dataclasses
+
+    from stlt_tpu.ops.fused_encoder import live_prefix_capacity
+
+    cfg = make_model_config(
+        "stlt",
+        num_classes=5,
+        unique_categories=4,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_spatial_layers=1,
+        num_temporal_layers=1,
+        layout_num_frames=8,
+        compute_dtype="bfloat16",
+        use_pallas=True,
+        remat=True,
+    )
+    batch = _synthetic_layout_batch(B, 8, 4, 4, length_range=(3, 5))
+    batch["labels"] = batch["labels"] % 5
+    batch["valid"] = np.ones(B, bool)
+    ft = np.asarray(batch["frame_types"])
+    cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+    assert cap is not None  # fill ~50% must land below the top bucket
+    cfg = dataclasses.replace(cfg, spatial_live_capacity=cap)
+    model = models_factory["stlt"](cfg)
+    inputs = {k: v for k, v in batch.items() if k not in ("labels", "valid")}
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    tx = make_optimizer(params, learning_rate=1e-3, weight_decay=1e-3,
+                        clip_val=5.0, num_warmup_steps=1, num_training_steps=5)
+    state = create_train_state(params, tx)
+    steps = compile_steps(make_mesh(1), model, tx, make_criterion("something"),
+                          state=state, grad_accum=2)
+    state = jax.device_put(state, steps.state_sharding)
+    state, loss = steps.train_step(state, batch, np.uint32(9))
+    assert np.isfinite(float(loss))
+
+
 def test_long_context_bf16_pallas_train_step():
     """The round-3 train-path features in one combo: blockwise-dispatched
     length (513 frames) × bf16 × pallas × dropout — the KV-loop Pallas
