@@ -211,18 +211,26 @@ def bench_long_context_512():
 
 
 def _with_live_prefix(config, batch):
-    """Ragged workloads: static live-prefix capacity for the spatial fold
-    from this batch's host-known lengths (models/stlt.py live-prefix path;
-    A/B kill: STLT_LIVE_PREFIX=0)."""
+    """Ragged workloads: static frame-capacity truncation + live-prefix
+    capacity for the spatial fold, both from this batch's host-known
+    lengths (models/stlt.py apply_frame_capacity + live-prefix path;
+    A/B kills: STLT_FRAME_CAP=0 / STLT_LIVE_PREFIX=0)."""
     import dataclasses
 
-    from stlt_tpu.ops.fused_encoder import live_prefix_capacity
+    from stlt_tpu.ops.fused_encoder import frame_capacity, live_prefix_capacity
 
     ft = np.asarray(batch["frame_types"])
-    cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
-    if cap is None:
+    live_per_clip = (ft != 0).sum(axis=1)
+    fcap = frame_capacity(int(live_per_clip.max()), ft.shape[1])
+    frame_axis = ft.shape[1] if fcap is None else fcap
+    cap = live_prefix_capacity(
+        int(live_per_clip.sum()), ft.shape[0] * frame_axis
+    )
+    if cap is None and fcap is None:
         return config
-    return dataclasses.replace(config, spatial_live_capacity=cap)
+    return dataclasses.replace(
+        config, spatial_live_capacity=cap, temporal_frame_capacity=fcap
+    )
 
 
 def bench_long_context_512_ragged():

@@ -194,6 +194,13 @@ class GeneralModelConfig:
     # via dataclasses.replace — the param tree is capacity-invariant, so one
     # set of weights serves every bucket (models/stlt.py SpatialTransformer).
     spatial_live_capacity: Optional[int] = None
+    # Ragged frame-capacity truncation: static frame-axis length the layout
+    # branch runs at when every clip's live slots (pads are tail-contiguous)
+    # fit a prefix of it; None = the full padded frame axis. Exact because
+    # the temporal encoder is causal and pooling reads ``lengths - 1 < cap``
+    # (models/stlt.py apply_frame_capacity). Param tree is capacity-invariant
+    # (the position table keeps its full ``layout_num_frames`` rows).
+    temporal_frame_capacity: Optional[int] = None
 
     def __post_init__(self):
         assert self.num_classes, "num_classes must not be None!"
@@ -263,6 +270,7 @@ class MultimodalModelConfig(GeneralModelConfig):
             num_temporal_layers=self.num_temporal_layers,
             layout_num_frames=self.layout_num_frames,
             spatial_live_capacity=self.spatial_live_capacity,
+            temporal_frame_capacity=self.temporal_frame_capacity,
         )
 
     @property
@@ -300,7 +308,8 @@ def position_table_rows(data_config: DataConfig) -> int:
     return max(StltModelConfig.layout_num_frames, data_config.num_total_frames)
 
 
-def spatial_live_capacity_for(dataset, data_config: DataConfig, batch_size: int):
+def spatial_live_capacity_for(dataset, data_config: DataConfig, batch_size: int,
+                              frame_axis: Optional[int] = None):
     """Safe-by-construction live-prefix capacity for a whole dataset
     (``--live_prefix``): each clip's live frame rows are bounded by
     ``min(its frame count, layout_num_frames) + 1`` (the extract slot), so
@@ -309,7 +318,10 @@ def spatial_live_capacity_for(dataset, data_config: DataConfig, batch_size: int)
     per-batch recompiles. Returns ``None`` when the fold would not shrink
     (the data fills the frame axis — the common short-table configs) or the
     feature is off (``STLT_LIVE_PREFIX=0``); only long-context configs
-    (grown position tables, ragged clips) benefit."""
+    (grown position tables, ragged clips) benefit. ``frame_axis`` overrides
+    the padded frame count the model actually runs at (the
+    ``temporal_frame_capacity`` truncation shrinks it below
+    ``num_total_frames`` — both levers compose)."""
     from stlt_tpu.ops.fused_encoder import LIVE_PREFIX_ENABLED
 
     if not LIVE_PREFIX_ENABLED:
@@ -321,8 +333,32 @@ def spatial_live_capacity_for(dataset, data_config: DataConfig, batch_size: int)
     if max_frames <= 0:
         return None
     max_live = min(max_frames, data_config.layout_num_frames) + 1
-    total = batch_size * data_config.num_total_frames
+    total = batch_size * (frame_axis or data_config.num_total_frames)
     cap = min(total, ((batch_size * max_live + 7) // 8) * 8)
+    return None if cap >= total else cap
+
+
+def frame_capacity_for(dataset, data_config: DataConfig):
+    """Safe-by-construction temporal frame capacity for a whole dataset
+    (``--live_prefix``): every clip's live slots are bounded by
+    ``min(its frame count, layout_num_frames) + 1`` (the extract slot) and
+    pads are tail-contiguous, so truncating the frame axis to the dataset
+    max drops only all-dead slots in every batch — no per-batch recompiles.
+    Returns ``None`` when truncation would not shrink or the scan can't
+    prove a bound (``models/stlt.py apply_frame_capacity`` contract)."""
+    from stlt_tpu.ops.fused_encoder import FRAME_CAP_ENABLED
+
+    if not FRAME_CAP_ENABLED:
+        return None
+    scan = getattr(dataset, "max_video_frames", None)
+    if scan is None:
+        return None
+    max_frames = scan()
+    if max_frames <= 0:
+        return None
+    max_live = min(max_frames, data_config.layout_num_frames) + 1
+    total = data_config.num_total_frames
+    cap = min(total, ((max_live + 7) // 8) * 8)
     return None if cap >= total else cap
 
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from stlt_tpu.configs import (
     category2id_for,
+    frame_capacity_for,
     make_model_config,
     position_table_rows,
     spatial_live_capacity_for,
@@ -76,6 +77,16 @@ def inference(args):
         rows=rows,
     )
     num_classes = len(test_dataset.labels)
+    # --live_prefix ragged levers (see train._live_prefix_caps): frame-axis
+    # truncation + spatial live-prefix, both dataset-bounded; neither under
+    # a context-sharded mesh (the ring shards the frame axis).
+    live_cap = frame_cap = None
+    if (getattr(args, "live_prefix", False) and args.use_pallas
+            and getattr(args, "context_parallel", 1) <= 1):
+        frame_cap = frame_capacity_for(test_dataset, data_cfg)
+        live_cap = spatial_live_capacity_for(
+            test_dataset, data_cfg, args.batch_size, frame_axis=frame_cap
+        )
     model_config = make_model_config(
         args.model_name,
         num_classes=num_classes,
@@ -94,11 +105,8 @@ def inference(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         remat=args.remat,
-        spatial_live_capacity=(
-            spatial_live_capacity_for(test_dataset, data_cfg, args.batch_size)
-            if getattr(args, "live_prefix", False) and args.use_pallas
-            else None
-        ),
+        spatial_live_capacity=live_cap,
+        temporal_frame_capacity=frame_cap,
     )
     logging.info("==================================")
     logging.info("The model's configuration is:\n%s", model_config)

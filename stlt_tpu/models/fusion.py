@@ -29,7 +29,12 @@ from flax import linen as nn
 from stlt_tpu.configs import MultimodalModelConfig
 from stlt_tpu.models.appearance import TransformerResnet
 from stlt_tpu.models.layers import MultiHeadAttention, activation_fn, torch_dense
-from stlt_tpu.models.stlt import ClassificationHead, StltBackbone, gather_extract_frame
+from stlt_tpu.models.stlt import (
+    ClassificationHead,
+    StltBackbone,
+    apply_frame_capacity,
+    gather_extract_frame,
+)
 from stlt_tpu.ops import masks
 
 
@@ -203,8 +208,12 @@ class CrossAttentionFusionBackbone(nn.Module):
     def __call__(
         self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True
     ) -> Dict[str, jnp.ndarray]:
-        num_frames = batch["categories"].shape[1]
-        layout_pad = masks.frames_padding_mask(batch["frame_types"])
+        # Frame-capacity truncation (apply_frame_capacity): the layout branch
+        # returns [B, cap, H], so the fusion masks derive from the SAME
+        # sliced frame axis — mm_fusion's layout queries/keys shrink with it.
+        lbatch = apply_frame_capacity(self.config.stlt_config, batch)
+        num_frames = lbatch["categories"].shape[1]
+        layout_pad = masks.frames_padding_mask(lbatch["frame_types"])
         layout_pad_bias = masks.key_padding_bias(layout_pad)
         layout_causal_pad_bias = masks.causal_bias(num_frames) + layout_pad_bias
 

@@ -41,6 +41,35 @@ from stlt_tpu.ops import masks
 
 NUM_FRAME_TYPES = 5  # reference models.py:91 — fixed table of 5 frame types
 
+# Per-frame streams of a layout batch (the keys apply_frame_capacity slices;
+# appearance streams — "videos" etc. — are untouched).
+_PER_FRAME_KEYS = ("categories", "boxes", "scores", "frame_types")
+
+
+def apply_frame_capacity(cfg: StltModelConfig, batch: Dict[str, jnp.ndarray]):
+    """Truncate the layout frame axis to ``cfg.temporal_frame_capacity``.
+
+    Ragged serving lever (no reference counterpart): the datasets pad frames
+    TAIL-contiguously (reference datasets.py:247-286) and the host loop can
+    bound every clip's live slots (``configs.frame_capacity_for`` /
+    ``ops.fused_encoder.frame_capacity``), so slicing ``[:, :cap]`` drops
+    only all-dead slots. Exact for every consumed output: the spatial stage
+    is row-independent, the temporal encoder is CAUSAL (live frames never
+    attend to later pad slots, and pad keys before ``cap`` are -1e9-masked
+    to exactly-0 softmax weight), and pooling reads ``lengths - 1 < cap``.
+    CONTRACT: ``cap >= every clip's live slot count``. Under a
+    context-sharded mesh leave the capacity ``None`` — the frame axis is
+    padded to the context multiple there (train.py guards this)."""
+    cap = cfg.temporal_frame_capacity
+    num_frames = batch["frame_types"].shape[1]
+    if cap is None or cap >= num_frames:
+        return batch
+    out = dict(batch)
+    for key in _PER_FRAME_KEYS:
+        if key in out:
+            out[key] = out[key][:, :cap]
+    return out
+
 
 class CategoryBoxEmbeddings(nn.Module):
     config: StltModelConfig
@@ -211,6 +240,12 @@ class StltBackbone(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], *, deterministic: bool = True):
         cfg = self.config
+        # Ragged frame-capacity truncation: the whole layout branch (spatial
+        # fold included) runs on the sliced frame axis; the output is
+        # [B, cap, H] and every consumer pools at ``lengths - 1 < cap``
+        # (Stlt / gather_extract_frame) or slices its masks to the same cap
+        # (fusion.CrossAttentionFusionBackbone).
+        batch = apply_frame_capacity(cfg, batch)
         embeddings = FramesEmbeddings(cfg, name="frames_embeddings")(
             batch, deterministic=deterministic
         )

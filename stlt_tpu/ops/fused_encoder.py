@@ -69,6 +69,7 @@ FUSED_TAIL_ENABLED = os.environ.get("STLT_FUSED_TAIL", "1") != "0"
 FUSED_TRAIN_ENABLED = os.environ.get("STLT_FUSED_PROJ_TRAIN", "1") != "0"
 COMPACTION_ENABLED = os.environ.get("STLT_COMPACTION", "1") != "0"
 LIVE_PREFIX_ENABLED = os.environ.get("STLT_LIVE_PREFIX", "1") != "0"
+FRAME_CAP_ENABLED = os.environ.get("STLT_FRAME_CAP", "1") != "0"
 
 
 def live_prefix_capacity(live_rows: int, total_rows: int, buckets: int = 8):
@@ -91,6 +92,30 @@ def live_prefix_capacity(live_rows: int, total_rows: int, buckets: int = 8):
     cap = -(-total_rows * k // buckets)
     cap = min(total_rows, ((cap + 7) // 8) * 8)
     return None if cap >= total_rows else cap
+
+
+def frame_capacity(max_live_frames: int, total_frames: int, buckets: int = 8):
+    """Host-side bucket for the temporal frame-capacity truncation
+    (``configs.temporal_frame_capacity``): the frame axis the whole model
+    runs at when every clip's live slots fit a prefix of it. Unlike the
+    spatial live-prefix (which compacts rows ACROSS clips), the frame axis
+    can only shrink to the batch's LONGEST live prefix — pads are
+    tail-contiguous per clip, so slicing ``[:, :cap]`` drops only all-dead
+    slots (models/stlt.py apply_frame_capacity). Same 8-bucket scheme as
+    :func:`live_prefix_capacity` to bound jit recompiles; rounded up to the
+    f32 sublane multiple of 8. Returns ``None`` when truncation would not
+    shrink or ``STLT_FRAME_CAP=0``."""
+    if not FRAME_CAP_ENABLED:
+        return None
+    max_live_frames = max(int(max_live_frames), 1)
+    if max_live_frames >= total_frames:
+        return None
+    k = -(-max_live_frames * buckets // total_frames)  # ceil
+    if k >= buckets:
+        return None
+    cap = -(-total_frames * k // buckets)
+    cap = min(total_frames, ((cap + 7) // 8) * 8)
+    return None if cap >= total_frames else cap
 
 
 def _block_live(rows_live, pad_rows: int, rb: int) -> jnp.ndarray:

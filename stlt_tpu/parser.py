@@ -108,11 +108,15 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="Use fused Pallas attention kernels.")
     p.add_argument("--live_prefix", action="store_true",
-                   help="Ragged long-context speedup: run the spatial fold "
-                        "at a static live-row capacity derived from the "
-                        "dataset's longest clip (safe for every batch; only "
-                        "helps when clips are shorter than the frame axis). "
-                        "Requires --use_pallas; A/B kill: STLT_LIVE_PREFIX=0.")
+                   help="Ragged long-context speedups: truncate the layout "
+                        "frame axis to the dataset's longest live prefix "
+                        "(temporal_frame_capacity) and run the spatial fold "
+                        "at a static live-row capacity (both derived from "
+                        "the dataset's longest clip — safe for every batch; "
+                        "only help when clips are shorter than the frame "
+                        "axis). Requires --use_pallas; no-op under "
+                        "--context_parallel. A/B kills: STLT_FRAME_CAP=0, "
+                        "STLT_LIVE_PREFIX=0.")
     p.add_argument("--seed", type=int, default=42, help="Global RNG seed.")
     # --- multi-host runtime (jax.distributed) ---
     p.add_argument("--coordinator_address", type=str, default=None,

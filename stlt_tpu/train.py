@@ -30,23 +30,33 @@ import numpy as np
 from stlt_tpu.configs import (
     DataConfig,
     category2id_for,
+    frame_capacity_for,
     make_model_config,
     position_table_rows,
     spatial_live_capacity_for,
 )
 
 
-def _live_prefix_cap(args, *dataset_cfgs):
-    """--live_prefix: one capacity that is safe for every dataset the model
-    sees (train AND val clips bound it), or None when any scan can't prove
-    a bound / the fold would not shrink."""
+def _live_prefix_caps(args, *dataset_cfgs):
+    """--live_prefix: (spatial_live_capacity, temporal_frame_capacity) that
+    are safe for every dataset the model sees (train AND val clips bound
+    them), or None when any scan can't prove a bound / the lever would not
+    shrink. Both stay None under a context-sharded mesh: the loader pads the
+    frame axis to the context multiple and the ring shards it — truncation
+    and the cross-shard live-row gather would break that layout
+    (models/stlt.py apply_frame_capacity / SpatialTransformer contracts)."""
     if not (getattr(args, "live_prefix", False) and args.use_pallas):
-        return None
+        return None, None
+    if getattr(args, "context_parallel", 1) > 1:
+        return None, None
+    fcaps = [frame_capacity_for(ds, cfg) for ds, cfg in dataset_cfgs]
+    frame_cap = None if any(c is None for c in fcaps) else max(fcaps)
     caps = [
-        spatial_live_capacity_for(ds, cfg, args.batch_size)
+        spatial_live_capacity_for(ds, cfg, args.batch_size,
+                                  frame_axis=frame_cap)
         for ds, cfg in dataset_cfgs
     ]
-    return None if any(c is None for c in caps) else max(caps)
+    return (None if any(c is None for c in caps) else max(caps)), frame_cap
 from stlt_tpu.data import collaters_factory, datasets_factory
 from stlt_tpu.data.loader import Loader, device_prefetch
 from stlt_tpu.models import models_factory
@@ -201,6 +211,9 @@ def train(args):
     )
 
     logging.info("Preparing model...")
+    live_cap, frame_cap = _live_prefix_caps(
+        args, (train_dataset, train_cfg), (val_dataset, val_cfg)
+    )
     model_config = make_model_config(
         args.model_name,
         num_classes=num_classes,
@@ -221,9 +234,8 @@ def train(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         remat=args.remat,
-        spatial_live_capacity=_live_prefix_cap(
-            args, (train_dataset, train_cfg), (val_dataset, val_cfg)
-        ),
+        spatial_live_capacity=live_cap,
+        temporal_frame_capacity=frame_cap,
     )
     logging.info("==================================")
     logging.info("The model's configuration is:\n%s", model_config)

@@ -54,3 +54,18 @@ def _drain_device_queues():
 
     for d in jax.devices():
         (jax.device_put(jnp.zeros(()), d) + 1).block_until_ready()
+
+
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """compile_steps/tests register the context mesh in a process-global
+    (parallel.mesh.set_active_mesh) so model code can route attention to the
+    ring path — a test that registers a (data×context) mesh and doesn't
+    reset it poisons every later meshless test: constrain_folded_rows starts
+    emitting sharding constraints whose divisibility the small shapes break
+    (the 14-failure cluster in the r5 full-suite logs). Reset after EVERY
+    test."""
+    yield
+    from stlt_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)

@@ -332,8 +332,12 @@ def test_two_process_cacnf_train_matches_single_process(tmp_path):
     # that deadline.
     for attempt in range(2):
         port = _free_port()
+        # per-attempt tag: the train CLI refuses an existing log file
+        # (reference train.py semantics), so a flaked attempt 0 must not
+        # strand its log/save paths in attempt 1's way
         argv_multi, args_multi = cli_args(
-            "multi", coordinator_address=f"localhost:{port}", num_processes="2",
+            f"multi{attempt}", coordinator_address=f"localhost:{port}",
+            num_processes="2",
         )
         env4 = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
         p0 = subprocess.Popen(

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CASES = (
     "stlt_eval", "stlt_eval_ragged", "stlt_train", "stlt_train_ragged",
     "stlt_train_nodrop", "cacnf_eval", "stlt_eval_live_prefix",
-    "stlt_train_live_prefix",
+    "stlt_train_live_prefix", "stlt_eval_frame_cap", "stlt_train_frame_cap",
 )
 
 # env deltas per variant: "on" is the shipping kernel set with the
@@ -57,11 +57,14 @@ VARIANTS = {
         "STLT_FUSED_PROJ_TRAIN": "0",
         "STLT_FUSED_TAIL_TRAIN": "0",
         "STLT_COMPACTION": "0",
+        "STLT_LIVE_PREFIX": "0",
+        "STLT_FRAME_CAP": "0",
     },
 }
 
 
-def _stlt_model(layout_num_frames=None, dropout=None, live_capacity=None):
+def _stlt_model(layout_num_frames=None, dropout=None, live_capacity=None,
+                frame_capacity=None):
     from stlt_tpu.configs import StltModelConfig
     from stlt_tpu.models import models_factory
 
@@ -72,6 +75,8 @@ def _stlt_model(layout_num_frames=None, dropout=None, live_capacity=None):
         kw["hidden_dropout_prob"] = dropout
     if live_capacity is not None:
         kw["spatial_live_capacity"] = live_capacity
+    if frame_capacity is not None:
+        kw["temporal_frame_capacity"] = frame_capacity
     config = StltModelConfig(
         num_classes=174, unique_categories=4, hidden_size=768,
         num_attention_heads=12, num_spatial_layers=4, num_temporal_layers=8,
@@ -100,7 +105,8 @@ def run_case(case: str, out_path: str) -> None:
     from __graft_entry__ import _synthetic_layout_batch
 
     save = {}
-    if case in ("stlt_eval", "stlt_eval_ragged", "stlt_eval_live_prefix"):
+    if case in ("stlt_eval", "stlt_eval_ragged", "stlt_eval_live_prefix",
+                "stlt_eval_frame_cap"):
         ragged = case != "stlt_eval"
         bs = 16 if ragged else 64
         # ragged: 257-frame clips at SSv2-like fill (~40-60 real frames) —
@@ -118,7 +124,7 @@ def run_case(case: str, out_path: str) -> None:
         # end-to-end: permutation + capacity + kernels vs no kernels at all.
         # Capacity keys off COMPACTION_ENABLED because the off variant's env
         # (STLT_COMPACTION=0) reaches this subprocess at import time.
-        cap = None
+        cap = fcap = None
         if case == "stlt_eval_live_prefix":
             from stlt_tpu.ops.fused_encoder import (
                 COMPACTION_ENABLED, live_prefix_capacity,
@@ -127,8 +133,27 @@ def run_case(case: str, out_path: str) -> None:
             if COMPACTION_ENABLED:
                 ft = np.asarray(batch["frame_types"])
                 cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+        elif case == "stlt_eval_frame_cap":
+            # frame_cap: BOTH ragged levers composed exactly as the CLIs'
+            # --live_prefix ships them — truncate the frame axis to the
+            # batch's longest live prefix, then fold the spatial stage to a
+            # live-row capacity of the truncated axis. Both helpers self-gate
+            # on their env kills, so the "off" subprocess (STLT_FRAME_CAP=0,
+            # STLT_LIVE_PREFIX=0) gets the plain XLA chain.
+            from stlt_tpu.ops.fused_encoder import (
+                frame_capacity, live_prefix_capacity,
+            )
+
+            ft = np.asarray(batch["frame_types"])
+            live_per_clip = (ft != 0).sum(axis=1)
+            fcap = frame_capacity(int(live_per_clip.max()), ft.shape[1])
+            cap = live_prefix_capacity(
+                int(live_per_clip.sum()),
+                ft.shape[0] * (fcap or ft.shape[1]),
+            )
         model = _stlt_model(
-            layout_num_frames=257 if ragged else None, live_capacity=cap
+            layout_num_frames=257 if ragged else None, live_capacity=cap,
+            frame_capacity=fcap,
         )
         inputs = jax.device_put(
             {k: v for k, v in batch.items() if k != "labels"}
@@ -160,10 +185,13 @@ def run_case(case: str, out_path: str) -> None:
         for head, v in outs.items():
             save[f"logits_{head}"] = v.astype(np.float32)
     elif case in ("stlt_train", "stlt_train_ragged", "stlt_train_nodrop",
-                  "stlt_train_live_prefix"):
+                  "stlt_train_live_prefix", "stlt_train_frame_cap"):
         from stlt_tpu.training.criterion import make_criterion
 
-        ragged = case in ("stlt_train_ragged", "stlt_train_live_prefix")
+        ragged = case in (
+            "stlt_train_ragged", "stlt_train_live_prefix",
+            "stlt_train_frame_cap",
+        )
         # ragged: 129-frame clips at SSv2-like fill — mixed live/dead row
         # blocks hit the fused train tail's per-token dead contract and the
         # attention kernels' dead-q-block skip under real Mosaic lowering;
@@ -181,7 +209,7 @@ def run_case(case: str, out_path: str) -> None:
         # operand row, which the live-prefix gather permutes — with dropout
         # off the capacity path's grads must match the XLA chain on the
         # compaction contract alone.
-        cap = None
+        cap = fcap = None
         if case == "stlt_train_live_prefix":
             from stlt_tpu.ops.fused_encoder import (
                 COMPACTION_ENABLED, live_prefix_capacity,
@@ -190,12 +218,29 @@ def run_case(case: str, out_path: str) -> None:
             if COMPACTION_ENABLED:
                 ft = np.asarray(batch["frame_types"])
                 cap = live_prefix_capacity(int((ft != 0).sum()), int(ft.size))
+        elif case == "stlt_train_frame_cap":
+            # composed ragged levers, dropout=0 (truncation changes operand
+            # shapes, so dropout bit-streams on/off differ by design — the
+            # check is the truncation + fold contract itself)
+            from stlt_tpu.ops.fused_encoder import (
+                frame_capacity, live_prefix_capacity,
+            )
+
+            ft = np.asarray(batch["frame_types"])
+            live_per_clip = (ft != 0).sum(axis=1)
+            fcap = frame_capacity(int(live_per_clip.max()), ft.shape[1])
+            cap = live_prefix_capacity(
+                int(live_per_clip.sum()),
+                ft.shape[0] * (fcap or ft.shape[1]),
+            )
         model = _stlt_model(
             layout_num_frames=129 if ragged else None,
             dropout=0.0
-            if case in ("stlt_train_nodrop", "stlt_train_live_prefix")
+            if case in ("stlt_train_nodrop", "stlt_train_live_prefix",
+                        "stlt_train_frame_cap")
             else None,
             live_capacity=cap,
+            frame_capacity=fcap,
         )
         labels = jax.device_put(batch["labels"].astype(np.int32))
         inputs = jax.device_put(
